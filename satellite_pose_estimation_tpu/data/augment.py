@@ -1,0 +1,213 @@
+"""Device-side train-time augmentation (jax.random driven, fixed shapes).
+
+TPU-first redesign of the reference albumentations pipeline
+(R1/datasets/speed.py:306-334): instead of sequential host interpolations
+(HFlip -> Affine -> Rotate -> Resize), the geometric ops compose into ONE
+inverse-affine matrix applied in a single bilinear resample from the packed
+buffer. Photometric ops (blur / gaussian noise / cutout / edge truncation)
+run as vectorised device ops on the warped crop.
+
+Keypoints ride the same affine: the forward map is applied analytically, so
+image/keypoint consistency is exact by construction (albumentations-level
+behavioral parity; bitwise parity is meaningless for stochastic augs).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.image_warp import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    affine_warp_bilinear,
+)
+
+
+class AugmentConfig(NamedTuple):
+    out_size: int = 256
+    p_hflip: float = 0.5
+    p_rotate: float = 0.4
+    rotate_limit_deg: float = 90.0
+    p_affine: float = 0.1
+    affine_scale_jitter: float = 0.1
+    affine_shift_jitter: float = 0.05
+    p_blur: float = 0.3
+    p_noise: float = 0.2
+    noise_sigma_max: float = 12.75  # ~ albumentations gauss default var cap
+    p_cutout: float = 0.1
+    cutout_holes: int = 10
+    cutout_max: int = 40
+    p_trunc: float = 0.2
+    trunc_ratio: float = 0.2
+
+
+def _sample_affine(rng, clip_bbox, cfg: AugmentConfig):
+    """Compose flip/rotate/affine/crop-resize into an output->source 2x3
+    matrix (buffer pixel coords) and its keypoint forward transform."""
+    S = cfg.out_size
+    k = jax.random.split(rng, 6)
+    x1, y1, x2, y2 = clip_bbox[0], clip_bbox[1], clip_bbox[2], clip_bbox[3]
+    w, h = x2 - x1, y2 - y1
+    cx, cy = (x1 + x2 - 1.0) / 2.0, (y1 + y2 - 1.0) / 2.0
+
+    do_flip = jax.random.bernoulli(k[0], cfg.p_hflip)
+    do_rot = jax.random.bernoulli(k[1], cfg.p_rotate)
+    theta = jnp.where(
+        do_rot,
+        jax.random.uniform(
+            k[2],
+            minval=-cfg.rotate_limit_deg,
+            maxval=cfg.rotate_limit_deg,
+        )
+        * jnp.pi
+        / 180.0,
+        0.0,
+    )
+    do_aff = jax.random.bernoulli(k[3], cfg.p_affine)
+    scale = jnp.where(
+        do_aff,
+        1.0
+        + jax.random.uniform(
+            k[4], minval=-cfg.affine_scale_jitter, maxval=cfg.affine_scale_jitter
+        ),
+        1.0,
+    )
+    shift = jnp.where(
+        do_aff,
+        jax.random.uniform(k[5], (2,), minval=-1.0, maxval=1.0)
+        * cfg.affine_shift_jitter
+        * jnp.asarray([w, h]),
+        jnp.zeros(2),
+    )
+
+    # Output pixel d -> crop coords q0 (cv2 resize half-pixel convention).
+    # q0 = bb_xy + (d + 0.5) * wh / S - 0.5
+    a_x = w / S
+    a_y = h / S
+    b_x = x1 + 0.5 * a_x - 0.5
+    b_y = y1 + 0.5 * a_y - 0.5
+
+    cos_t = jnp.cos(theta) / scale
+    sin_t = jnp.sin(theta) / scale
+
+    # src = Flip(C + R(-theta)/scale * (q0 - C) - shift)
+    def compose():
+        # rows of the linear part acting on (dx, dy)
+        m00 = cos_t * a_x
+        m01 = sin_t * a_y
+        m10 = -sin_t * a_x
+        m11 = cos_t * a_y
+        t0 = cos_t * (b_x - cx) + sin_t * (b_y - cy) + cx - shift[0]
+        t1 = -sin_t * (b_x - cx) + cos_t * (b_y - cy) + cy - shift[1]
+        # horizontal flip across the crop center (x -> 2cx - x)
+        m00f = jnp.where(do_flip, -m00, m00)
+        m01f = jnp.where(do_flip, -m01, m01)
+        t0f = jnp.where(do_flip, 2.0 * cx - t0, t0)
+        return jnp.asarray([[m00f, m01f, t0f], [m10, m11, t1]])
+
+    M = compose()
+
+    # Keypoint forward map: invert M (2x2 linear + translation).
+    det = M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0]
+    det = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
+    inv00 = M[1, 1] / det
+    inv01 = -M[0, 1] / det
+    inv10 = -M[1, 0] / det
+    inv11 = M[0, 0] / det
+
+    def kp_forward(kp):
+        rel_x = kp[..., 0] - M[0, 2]
+        rel_y = kp[..., 1] - M[1, 2]
+        return jnp.stack(
+            [inv00 * rel_x + inv01 * rel_y, inv10 * rel_x + inv11 * rel_y],
+            axis=-1,
+        )
+
+    return M, kp_forward
+
+
+def _photometric(rng, img, cfg: AugmentConfig):
+    """Blur / gaussian noise / cutout / edge truncation on the (S,S,3) crop
+    in [0, 255] space."""
+    S = cfg.out_size
+    k = jax.random.split(rng, 10)
+
+    # 3x3 box blur (Blur(blur_limit=3) equivalent).
+    do_blur = jax.random.bernoulli(k[0], cfg.p_blur)
+    kernel = jnp.ones((3, 3, 1, 1)) / 9.0
+    blurred = jax.lax.conv_general_dilated(
+        img.transpose(2, 0, 1)[:, None, :, :],
+        kernel.transpose(3, 2, 0, 1),
+        (1, 1),
+        "SAME",
+    )[:, 0].transpose(1, 2, 0)
+    img = jnp.where(do_blur, blurred, img)
+
+    # Additive gaussian noise.
+    do_noise = jax.random.bernoulli(k[1], cfg.p_noise)
+    sigma = jax.random.uniform(k[2], minval=0.0, maxval=cfg.noise_sigma_max)
+    noise = jax.random.normal(k[3], img.shape) * sigma
+    img = jnp.where(do_noise, img + noise, img)
+
+    # Cutout: fixed number of holes, masked by bernoulli.
+    do_cut = jax.random.bernoulli(k[4], cfg.p_cutout)
+    holes_xy = jax.random.randint(k[5], (cfg.cutout_holes, 2), 0, S)
+    holes_wh = jax.random.randint(k[6], (cfg.cutout_holes, 2), 1, cfg.cutout_max)
+    xx = jnp.arange(S)[None, None, :]  # (1,1,S)
+    yy = jnp.arange(S)[None, :, None]  # (1,S,1)
+    in_x = (xx >= holes_xy[:, 0:1, None]) & (
+        xx < holes_xy[:, 0:1, None] + holes_wh[:, 0:1, None]
+    )
+    in_y = (yy >= holes_xy[:, 1:2, None]) & (
+        yy < holes_xy[:, 1:2, None] + holes_wh[:, 1:2, None]
+    )
+    hole_mask = jnp.any(in_x & in_y, axis=0)  # (S, S)
+    img = jnp.where(do_cut & hole_mask[..., None], 0.0, img)
+
+    # img_trunc edge blanking (R1/datasets/speed.py:163-185).
+    do_trunc = jax.random.bernoulli(k[7], cfg.p_trunc)
+    th = jax.random.randint(k[8], (), 0, max(int(S * cfg.trunc_ratio), 1))
+    tw = jax.random.randint(k[9], (), 0, max(int(S * cfg.trunc_ratio), 1))
+    u = jax.random.uniform(jax.random.fold_in(rng, 77))
+    top = (yy[0] < th) | (xx[0] < tw)     # u < 0.25 branch
+    bottom = (yy[0] >= S - th) | (xx[0] >= S - tw)  # u > 0.75 branch
+    trunc_mask = jnp.where(u < 0.25, top, jnp.where(u > 0.75, bottom, False))
+    img = jnp.where(do_trunc & trunc_mask[..., None], 0.0, img)
+
+    return jnp.clip(img, 0.0, 255.0)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def augment_sample(rng, image_buf, clip_bbox, landmarks_buf,
+                   cfg: AugmentConfig = AugmentConfig()):
+    """One sample: geometric warp (single resample) + photometric + normalize.
+
+    Args:
+        image_buf: (P, P, 3) uint8 packed buffer.
+        clip_bbox: (4,) crop box in buffer coords.
+        landmarks_buf: (K, 2) landmark pixels in buffer coords.
+    Returns:
+        img (S, S, 3) float32 ImageNet-normalized, landmarks_norm (K, 2) in
+        [0, 1] output coords (may exit [0,1] if augmentation moved them out,
+        matching remove_invisible=False).
+    """
+    k_geo, k_photo = jax.random.split(rng)
+    M, kp_forward = _sample_affine(k_geo, clip_bbox, cfg)
+    img = affine_warp_bilinear(image_buf, M, cfg.out_size, normalize=False)
+    img = _photometric(k_photo, img, cfg)
+    img = (img / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+
+    kp_out = kp_forward(landmarks_buf)
+    kp_norm = (kp_out + 0.0) / cfg.out_size
+    return img, kp_norm
+
+
+def augment_batch(rng, images, clip_bboxes, landmarks,
+                  cfg: AugmentConfig = AugmentConfig()):
+    rngs = jax.random.split(rng, images.shape[0])
+    return jax.vmap(lambda r, i, b, l: augment_sample(r, i, b, l, cfg))(
+        rngs, images, clip_bboxes, landmarks
+    )

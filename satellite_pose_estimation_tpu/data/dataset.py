@@ -1,0 +1,206 @@
+"""Host-side SPEED datasets feeding the device-resident preprocessing.
+
+Split of responsibilities (TPU-first redesign of R1/datasets/speed.py):
+* host: JPEG decode (PIL), crop-box geometry (crop.py), cheap integer
+  pre-crop into a fixed-size packed buffer (bounded H2D traffic);
+* device: fused cubic crop+resize+normalize (ops/image_warp.py), train-time
+  augmentation (data/augment.py), landmark normalisation.
+
+A packed sample carries (buffer (P, P, 3) uint8, clip_bbox in buffer coords,
+landmarks in buffer coords); `pack_crop` guarantees the whole clip box is
+representable, decimating by powers of two when the crop exceeds the buffer.
+"""
+from __future__ import annotations
+
+import os.path as osp
+from typing import Iterator, Optional
+
+import numpy as np
+
+from .annotations import load_detector_boxes, load_train_annotations
+from .crop import (
+    generate_clip_bbox_submission,
+    generate_clip_bbox_train,
+    generate_clip_bbox_val,
+)
+
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+def _decode(path: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def pack_crop(img: np.ndarray, clip_bbox: np.ndarray, pack_size: int = 512):
+    """Copy the clip region into a fixed (pack_size, pack_size, 3) buffer.
+
+    Returns (buffer, bbox_in_buffer, scale, offset_xy) where
+    original_coords = buffer_coords * scale + offset_xy. If the clip box is
+    larger than the buffer, the source is decimated by the smallest power of
+    two that fits (stride slicing; the device cubic resample follows).
+    """
+    H, W, _ = img.shape
+    x1, y1, x2, y2 = clip_bbox
+    # Integer source region (intersection with the image).
+    sx1, sy1 = int(np.floor(max(0.0, x1))), int(np.floor(max(0.0, y1)))
+    sx2, sy2 = int(np.ceil(min(W, x2))), int(np.ceil(min(H, y2)))
+    sx2, sy2 = max(sx2, sx1 + 1), max(sy2, sy1 + 1)
+
+    step = 1
+    while (sx2 - sx1) // step > pack_size or (sy2 - sy1) // step > pack_size:
+        step *= 2
+
+    region = img[sy1:sy2:step, sx1:sx2:step]
+    buf = np.zeros((pack_size, pack_size, 3), img.dtype)
+    h, w = region.shape[:2]
+    buf[:h, :w] = region
+
+    scale = float(step)
+    offset = np.asarray([sx1, sy1], np.float64)
+    bbox_buf = np.asarray(
+        [
+            (x1 - sx1) / scale,
+            (y1 - sy1) / scale,
+            (x2 - sx1) / scale,
+            (y2 - sy1) / scale,
+        ]
+    )
+    return buf, bbox_buf, scale, offset
+
+
+class SpeedTrainDataset:
+    """Train/val dataset over the wz_train.json + split-index format.
+
+    Yields per-sample dicts; batching/collation is plain numpy stacking since
+    every tensor is fixed-shape by construction.
+    """
+
+    def __init__(
+        self,
+        data_root: str,
+        ann_file: str = "wz_train.json",
+        index_file: str = "train_1.txt",
+        img_dir: str = "images/train",
+        resize: int = 256,
+        train: bool = True,
+        pack_size: int = 512,
+        seed: int = 0,
+    ):
+        self.data_root = data_root
+        self.img_dir = img_dir
+        self.resize = resize
+        self.train = train
+        self.pack_size = pack_size
+        self.rng = np.random.RandomState(seed)
+        self.data_infos = load_train_annotations(
+            osp.join(data_root, "annos", ann_file),
+            osp.join(data_root, "annos", index_file),
+        )
+
+    def __len__(self):
+        return len(self.data_infos)
+
+    def __getitem__(self, idx: int) -> dict:
+        info = self.data_infos[idx]
+        img = _decode(osp.join(self.data_root, self.img_dir, info["filename"]))
+        H, W = img.shape[:2]
+        landmarks = np.asarray(info["landmarks"], np.float64)[:, :2]
+        bbox = np.asarray(info["bbox_xxyy"], np.float64)
+
+        if self.train:
+            clip = generate_clip_bbox_train(bbox, (W, H), self.rng)
+        else:
+            clip = generate_clip_bbox_val(bbox, (W, H))
+
+        buf, bbox_buf, scale, offset = pack_crop(img, clip, self.pack_size)
+        lm_buf = (landmarks - offset[None, :]) / scale
+
+        return {
+            "image": buf,  # (P, P, 3) uint8
+            "clip_bbox_buf": bbox_buf.astype(np.float32),
+            "clip_bbox": clip.astype(np.float32),  # original-image coords
+            "scale": np.float32(scale),
+            "offset": offset.astype(np.float32),
+            "landmarks_buf": lm_buf.astype(np.float32),  # buffer pixel coords
+            "labels": np.arange(11, dtype=np.int32),
+            "filename": info["filename"],
+        }
+
+    def batches(self, batch_size: int, shuffle: Optional[bool] = None,
+                drop_last: bool = True) -> Iterator[dict]:
+        shuffle = self.train if shuffle is None else shuffle
+        order = np.arange(len(self))
+        if shuffle:
+            self.rng.shuffle(order)
+        for start in range(0, len(order) - (batch_size - 1 if drop_last else 0),
+                           batch_size):
+            idxs = order[start:start + batch_size]
+            if drop_last and len(idxs) < batch_size:
+                break
+            samples = [self[int(i)] for i in idxs]
+            yield _collate(samples)
+
+
+class SpeedSubmissionDataset:
+    """Detector-box submission dataset (R1/datasets/speed.py:44-160):
+    square int crop on a zero canvas, ratio preserved."""
+
+    def __init__(
+        self,
+        data_root: str,
+        ann_file: str,
+        img_dir: str,
+        resize: int = 256,
+        pack_size: int = 512,
+    ):
+        self.data_root = data_root
+        self.img_dir = img_dir
+        self.resize = resize
+        self.pack_size = pack_size
+        self.data_infos = load_detector_boxes(
+            osp.join(data_root, "annos", ann_file)
+        )
+
+    def __len__(self):
+        return len(self.data_infos)
+
+    def __getitem__(self, idx: int) -> dict:
+        info = self.data_infos[idx]
+        img = _decode(osp.join(self.data_root, self.img_dir, info["filename"]))
+        clip = generate_clip_bbox_submission(np.asarray(info["bbox_xxyy"]))
+        buf, bbox_buf, scale, offset = pack_crop(img, clip, self.pack_size)
+        return {
+            "image": buf,
+            "clip_bbox_buf": bbox_buf.astype(np.float32),
+            "clip_bbox": clip.astype(np.float32),
+            "scale": np.float32(scale),
+            "offset": offset.astype(np.float32),
+            "filename": info["filename"],
+        }
+
+    def batches(self, batch_size: int, pad_last: bool = True) -> Iterator[dict]:
+        n = len(self)
+        for start in range(0, n, batch_size):
+            idxs = list(range(start, min(start + batch_size, n)))
+            pad = 0
+            if pad_last and len(idxs) < batch_size:
+                pad = batch_size - len(idxs)
+                idxs = idxs + [idxs[-1]] * pad
+            samples = [self[i] for i in idxs]
+            batch = _collate(samples)
+            batch["pad"] = pad
+            yield batch
+
+
+def _collate(samples):
+    out = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if key == "filename":
+            out[key] = vals
+        else:
+            out[key] = np.stack(vals)
+    return out

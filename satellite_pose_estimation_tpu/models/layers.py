@@ -1,0 +1,93 @@
+"""Shared neural-net building blocks (flax.linen, NHWC, bf16-friendly).
+
+Norm options mirror the reference's build_batchnorm selector
+(R1/models/backbone.py:173-181): frozen_bn / bn / sync_bn / group_bn.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with fixed statistics and affine parameters.
+
+    Equivalent to the reference FrozenBatchNorm2d (R1/models/backbone.py:18-54):
+    y = (x - mean) * rsqrt(var + eps) * weight + bias, with all four tensors
+    loaded from a checkpoint and never updated. Stats live in the
+    "batch_stats" collection so checkpoint converters can fill them.
+    """
+
+    features: int
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,))
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,))
+        )
+        inv = jnp.reciprocal(jnp.sqrt(var.value + self.eps))
+        mult = (scale * inv).astype(self.dtype)
+        shift = (bias - mean.value * scale * inv).astype(self.dtype)
+        return x * mult + shift
+
+
+def apply_norm(kind: str, features: int, name: str, x, train: bool,
+               dtype=jnp.float32, data_axis: str = "data"):
+    """Build-and-apply one norm layer inside an @nn.compact body.
+
+    'sync_bn' reduces batch stats over the mesh data axis (psum under
+    shard_map/pmap) — the XLA-native SyncBatchNorm equivalent.
+    """
+    if kind == "frozen_bn":
+        return FrozenBatchNorm(features, dtype=dtype, name=name)(x)
+    if kind in ("bn", "sync_bn"):
+        return nn.BatchNorm(
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=dtype,
+            axis_name=data_axis if kind == "sync_bn" else None,
+            name=name,
+        )(x, use_running_average=not train)
+    if kind == "group_bn":
+        return nn.GroupNorm(num_groups=32, dtype=dtype, name=name)(x)
+    raise ValueError(f"unknown norm kind: {kind}")
+
+
+class MLP(nn.Module):
+    """DETR-style MLP head: (num_layers-1) x [Linear+ReLU] + Linear.
+
+    Reference: R1/models/detr_speed.py:16-29.
+    """
+
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers - 1):
+            x = nn.Dense(self.hidden_dim, dtype=self.dtype, name=f"layers_{i}")(x)
+            x = nn.relu(x)
+        x = nn.Dense(
+            self.output_dim, dtype=self.dtype, name=f"layers_{self.num_layers - 1}"
+        )(x)
+        return x
+
+
+def get_activation(name: str) -> Callable:
+    return {
+        "relu": nn.relu,
+        "gelu": nn.gelu,
+        "silu": nn.silu,
+        "swish": nn.silu,
+    }[name]

@@ -1,0 +1,163 @@
+"""ResNet backbones (NHWC, flax) with the reference's tap points.
+
+Capability parity targets:
+* ``ResNet`` taps layer3 (stride 16, 1024ch for resnet50; 256ch for
+  resnet18/34) like the reference Backbone (R1/models/backbone.py:88-102,
+  return_layers={'layer3'} at :71).
+* ``Backbone8s`` fuses layer2 (s8) + bilinearly-upsampled layer3 (s16) with
+  lateral convs into a 512ch stride-8 map (R1/models/backbone.py:105-149).
+
+Structure follows torchvision resnet naming (conv1/bn1/layerN_M) so a
+checkpoint converter can map pretrained torch weights 1:1.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import apply_norm
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    norm: str = "frozen_bn"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      padding=1, use_bias=False, dtype=self.dtype, name="conv1")(x)
+        out = apply_norm(self.norm, self.planes, "bn1", out, train, self.dtype)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                      dtype=self.dtype, name="conv2")(out)
+        out = apply_norm(self.norm, self.planes, "bn2", out, train, self.dtype)
+        if self.downsample:
+            identity = nn.Conv(self.planes, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            identity = apply_norm(
+                self.norm, self.planes, "downsample_bn", identity, train,
+                self.dtype)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    norm: str = "frozen_bn"
+    dtype: Any = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        wide = self.planes * self.expansion
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="conv1")(x)
+        out = apply_norm(self.norm, self.planes, "bn1", out, train, self.dtype)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      padding=1, use_bias=False, dtype=self.dtype, name="conv2")(out)
+        out = apply_norm(self.norm, self.planes, "bn2", out, train, self.dtype)
+        out = nn.relu(out)
+        out = nn.Conv(wide, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="conv3")(out)
+        out = apply_norm(self.norm, wide, "bn3", out, train, self.dtype)
+        if self.downsample:
+            identity = nn.Conv(wide, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            identity = apply_norm(
+                self.norm, wide, "downsample_bn", identity, train, self.dtype)
+        return nn.relu(out + identity)
+
+
+_ARCHS = {
+    "resnet18": (BasicBlock, [2, 2, 2, 2], 1),
+    "resnet34": (BasicBlock, [3, 4, 6, 3], 1),
+    "resnet50": (Bottleneck, [3, 4, 6, 3], 4),
+    "resnet101": (Bottleneck, [3, 4, 23, 3], 4),
+}
+
+
+class ResNet(nn.Module):
+    """torchvision-style ResNet trunk; returns requested layer taps.
+
+    ``taps``: which of layer1..layer4 outputs to return, e.g. (2, 3) for the
+    stride-8 and stride-16 maps.
+    """
+
+    arch: str = "resnet50"
+    taps: Sequence[int] = (3,)
+    norm: str = "frozen_bn"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block_cls, layout, _ = _ARCHS[self.arch]
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = apply_norm(self.norm, 64, "bn1", x, train, self.dtype)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        outputs = {}
+        planes = 64
+        max_tap = max(self.taps)
+        for stage in range(max_tap):
+            stride = 1 if stage == 0 else 2
+            for b in range(layout[stage]):
+                x = block_cls(
+                    planes=planes,
+                    stride=stride if b == 0 else 1,
+                    downsample=(b == 0),
+                    norm=self.norm,
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_{b}",
+                )(x, train)
+            outputs[stage + 1] = x
+            planes *= 2
+        return [outputs[t] for t in self.taps]
+
+    @staticmethod
+    def tap_channels(arch: str, tap: int) -> int:
+        _, _, expansion = _ARCHS[arch]
+        return 64 * (2 ** (tap - 1)) * expansion
+
+
+class Backbone8s(nn.Module):
+    """ResNet50 stride-8 fusion backbone (R1/models/backbone.py:105-149):
+    layer2 (s8, 512ch) + bilinear-2x-upsampled layer3 (s16, 1024ch), lateral
+    1x1/3x3 convs to 256ch each, concat, 3x3 output conv -> 512ch @ s8."""
+
+    norm: str = "frozen_bn"
+    dtype: Any = jnp.float32
+    num_channels: int = 512
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        xs8, xs16 = ResNet(
+            arch="resnet50", taps=(2, 3), norm=self.norm, dtype=self.dtype,
+            name="body",
+        )(x, train)
+        b, h, w, c = xs16.shape
+        up = jax.image.resize(
+            xs16, (b, h * 2, w * 2, c), method="bilinear"
+        ).astype(self.dtype)
+        l8 = nn.Conv(256, (1, 1), use_bias=False, dtype=self.dtype,
+                     name="s8_latern")(xs8)
+        l16 = nn.Conv(256, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+                      name="s16_latern")(up)
+        out = nn.Conv(512, (3, 3), padding=1, dtype=self.dtype,
+                      name="output_conv")(jnp.concatenate([l8, l16], axis=-1))
+        return [out]

@@ -1,0 +1,168 @@
+"""DETR encoder/decoder transformer (flax), matching the reference semantics:
+positional embeddings are added to q/k inside each attention (not to values),
+the decoder returns the per-layer intermediate stack, and pre/post-norm are
+both supported (R1/models/transformer.py:18-129).
+
+TPU notes: all attention shapes are static (no padding masks — crops are
+fixed-size), sequence lengths are small (<=1024 tokens at 256^2/s8), so
+plain dot-product attention fuses well under XLA; no flash kernel needed.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class _Attention(nn.Module):
+    d_model: int
+    nhead: int
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v, deterministic: bool = True):
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.nhead,
+            qkv_features=self.d_model,
+            out_features=self.d_model,
+            dropout_rate=self.dropout,
+            dtype=self.dtype,
+            name="mha",
+        )
+        return attn(q, k, v, deterministic=deterministic)
+
+
+class EncoderLayer(nn.Module):
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    activation: str = "relu"
+    normalize_before: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, pos, deterministic: bool = True):
+        act = {"relu": nn.relu, "gelu": nn.gelu}[self.activation]
+
+        def sa(x_qk_src):
+            q = k = x_qk_src + pos
+            return _Attention(self.d_model, self.nhead, self.dropout,
+                              self.dtype, name="self_attn")(
+                q, k, x_qk_src, deterministic)
+
+        def ffn(x):
+            x = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
+            x = act(x)
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            return nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(x)
+
+        drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+        if self.normalize_before:
+            src2 = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
+            src = src + drop(sa(src2))
+            src2 = nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
+            src = src + drop(ffn(src2))
+        else:
+            src = src + drop(sa(src))
+            src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
+            src = src + drop(ffn(src))
+            src = nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
+        return src
+
+
+class DecoderLayer(nn.Module):
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    activation: str = "relu"
+    normalize_before: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, memory, pos, query_pos, deterministic: bool = True):
+        act = {"relu": nn.relu, "gelu": nn.gelu}[self.activation]
+        drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+        def sa(x):
+            q = k = x + query_pos
+            return _Attention(self.d_model, self.nhead, self.dropout,
+                              self.dtype, name="self_attn")(
+                q, k, x, deterministic)
+
+        def ca(x):
+            return _Attention(self.d_model, self.nhead, self.dropout,
+                              self.dtype, name="cross_attn")(
+                x + query_pos, memory + pos, memory, deterministic)
+
+        def ffn(x):
+            x = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
+            x = act(x)
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            return nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(x)
+
+        if self.normalize_before:
+            tgt2 = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
+            tgt = tgt + drop(sa(tgt2))
+            tgt2 = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt)
+            tgt = tgt + drop(ca(tgt2))
+            tgt2 = nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt)
+            tgt = tgt + drop(ffn(tgt2))
+        else:
+            tgt = tgt + drop(sa(tgt))
+            tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
+            tgt = tgt + drop(ca(tgt))
+            tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt)
+            tgt = tgt + drop(ffn(tgt))
+            tgt = nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt)
+        return tgt
+
+
+class Transformer(nn.Module):
+    """Full DETR transformer. Input feature map (B, H, W, C) is flattened to
+    (B, HW, C); returns the stacked decoder intermediates
+    (num_dec_layers, B, num_queries, C)."""
+
+    d_model: int = 256
+    nhead: int = 8
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    activation: str = "relu"
+    normalize_before: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, query_embed, pos_embed, deterministic: bool = True):
+        b, h, w, c = src.shape
+        src = src.reshape(b, h * w, c)
+        pos = pos_embed.reshape(1, h * w, c).astype(self.dtype)
+        query_pos = query_embed[None, :, :].repeat(b, axis=0).astype(self.dtype)
+
+        mem = src
+        for i in range(self.num_encoder_layers):
+            mem = EncoderLayer(
+                self.d_model, self.nhead, self.dim_feedforward, self.dropout,
+                self.activation, self.normalize_before, self.dtype,
+                name=f"encoder_layer_{i}",
+            )(mem, pos, deterministic)
+        if self.normalize_before:
+            mem = nn.LayerNorm(dtype=self.dtype, name="encoder_norm")(mem)
+
+        tgt = jnp.zeros_like(query_pos)
+        intermediates = []
+        final_norm = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")
+        for i in range(self.num_decoder_layers):
+            tgt = DecoderLayer(
+                self.d_model, self.nhead, self.dim_feedforward, self.dropout,
+                self.activation, self.normalize_before, self.dtype,
+                name=f"decoder_layer_{i}",
+            )(tgt, mem, pos, query_pos, deterministic)
+            intermediates.append(final_norm(tgt))
+
+        return jnp.stack(intermediates, axis=0), mem

@@ -1,0 +1,156 @@
+"""Device-resident image warping: fused crop + resize + normalize.
+
+The reference does PIL crop -> cv2.resize(INTER_CUBIC) -> to_tensor ->
+ImageNet-normalize on host CPU per image (R1/datasets/speed.py:209-244,
+44-160). Here the full-resolution uint8 image goes to the device once and a
+single fused gather computes the normalized (S, S, 3) crop:
+
+* ``crop_resize_cubic`` — separable Catmull-Rom (a = -0.75, cv2's cubic
+  kernel) with cv2's half-pixel coordinate mapping and edge-replication at
+  the crop/canvas border; pixels of the canvas outside the real image are
+  zero (the SpeedSubmission pad-to-square contract).
+* ``affine_warp_bilinear`` — general inverse-affine warp for train-time
+  geometric augmentation (flip/rotate/scale fused into ONE resample instead
+  of the reference's sequential interpolations).
+
+Both batch with vmap and run inside jit: per-image crop boxes are traced
+values, shapes are static.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
+IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
+
+
+def _cubic_weights(t, a=-0.75):
+    """Catmull-Rom-style cubic kernel weights for taps at offsets
+    (-1, 0, 1, 2) relative to floor(x), with t = frac(x). cv2-compatible
+    (BiCubic with a = -0.75)."""
+    # |s| for each tap: 1+t, t, 1-t, 2-t
+    def k(s):
+        s = jnp.abs(s)
+        w1 = ((a + 2.0) * s - (a + 3.0)) * s * s + 1.0  # |s| <= 1
+        w2 = ((a * s - 5.0 * a) * s + 8.0 * a) * s - 4.0 * a  # 1 < |s| < 2
+        return jnp.where(s <= 1.0, w1, jnp.where(s < 2.0, w2, 0.0))
+
+    return jnp.stack([k(t + 1.0), k(t), k(1.0 - t), k(2.0 - t)], axis=-1)
+
+
+def _axis_samples(out_size, c0, c1):
+    """cv2.resize source coordinates for one axis: src = (dst+0.5)*scale-0.5
+    within the crop [c0, c1), then offset by c0."""
+    scale = (c1 - c0) / out_size
+    d = jnp.arange(out_size, dtype=jnp.float32)
+    return c0 + (d + 0.5) * scale - 0.5
+
+
+def _gather_taps_1d(coords, canvas_lo, canvas_hi, img_extent):
+    """For fractional source coords (S,), return tap indices (S, 4) int32
+    clipped for border-replicate within the canvas, a zero-mask (S, 4) for
+    taps outside the real image, and cubic weights (S, 4)."""
+    base = jnp.floor(coords)
+    t = coords - base
+    w = _cubic_weights(t)  # (S, 4)
+    taps = base[:, None] + jnp.asarray([-1.0, 0.0, 1.0, 2.0])[None, :]
+    # Replicate at the canvas edge (cv2.resize border behavior on the crop).
+    lo = jnp.ceil(canvas_lo)
+    hi = jnp.floor(canvas_hi - 1e-3)
+    taps = jnp.clip(taps, lo, hi)
+    # Zero outside the real image (pad-to-square canvas contract).
+    inside = (taps >= 0) & (taps <= img_extent - 1)
+    idx = jnp.clip(taps, 0, img_extent - 1).astype(jnp.int32)
+    return idx, inside.astype(jnp.float32), w
+
+
+@partial(jax.jit, static_argnames=("out_size", "normalize"))
+def crop_resize_cubic(image, clip_bbox, out_size=256, normalize=True):
+    """Fused crop+cubic-resize+normalize for one image.
+
+    Args:
+        image: (H, W, 3) uint8 or float source image.
+        clip_bbox: (4,) float [x1, y1, x2, y2] crop box. May extend beyond
+            the image; outside pixels read as zero.
+        out_size: output side length S.
+        normalize: apply /255 + ImageNet mean/std.
+    Returns:
+        (S, S, 3) float32.
+    """
+    H, W, _ = image.shape
+    img = image.astype(jnp.float32)
+
+    x1, y1, x2, y2 = clip_bbox[0], clip_bbox[1], clip_bbox[2], clip_bbox[3]
+    sx = _axis_samples(out_size, x1, x2)
+    sy = _axis_samples(out_size, y1, y2)
+
+    ix, mx, wx = _gather_taps_1d(sx, x1, x2, W)  # (S,4) each
+    iy, my, wy = _gather_taps_1d(sy, y1, y2, H)
+
+    # Horizontal pass: (H, W, 3) -> (H, S, 3)
+    gathered = img[:, ix.reshape(-1), :].reshape(H, out_size, 4, 3)
+    wxm = (wx * mx)[None, :, :, None]
+    horiz = jnp.sum(gathered * wxm, axis=2)
+
+    # Vertical pass: (H, S, 3) -> (S, S, 3)
+    gathered_v = horiz[iy.reshape(-1), :, :].reshape(out_size, 4, out_size, 3)
+    wym = (wy * my)[:, :, None, None]
+    out = jnp.sum(gathered_v * wym, axis=1)
+
+    if normalize:
+        out = (out / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    return out
+
+
+crop_resize_cubic_batch = jax.jit(
+    jax.vmap(crop_resize_cubic, in_axes=(0, 0, None, None)),
+    static_argnums=(2, 3),
+)
+
+
+@partial(jax.jit, static_argnames=("out_size", "normalize"))
+def affine_warp_bilinear(image, matrix, out_size=256, normalize=True):
+    """Inverse-affine bilinear warp: out[y, x] = img(M @ [x, y, 1]).
+
+    Args:
+        image: (H, W, 3) source.
+        matrix: (2, 3) output->source affine (pixel coords).
+    Outside-image samples are zero.
+    """
+    H, W, _ = image.shape
+    img = image.astype(jnp.float32)
+
+    d = jnp.arange(out_size, dtype=jnp.float32)
+    dx, dy = jnp.meshgrid(d, d, indexing="xy")  # (S, S)
+    sx = matrix[0, 0] * dx + matrix[0, 1] * dy + matrix[0, 2]
+    sy = matrix[1, 0] * dx + matrix[1, 1] * dy + matrix[1, 2]
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    tx = sx - x0
+    ty = sy - y0
+
+    def sample(xi, yi):
+        inside = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+        xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        flat = img.reshape(H * W, 3)
+        v = flat[(yc * W + xc).reshape(-1), :].reshape(out_size, out_size, 3)
+        return v * inside[..., None].astype(jnp.float32)
+
+    v00 = sample(x0, y0)
+    v01 = sample(x0 + 1, y0)
+    v10 = sample(x0, y0 + 1)
+    v11 = sample(x0 + 1, y0 + 1)
+    w00 = ((1 - tx) * (1 - ty))[..., None]
+    w01 = (tx * (1 - ty))[..., None]
+    w10 = ((1 - tx) * ty)[..., None]
+    w11 = (tx * ty)[..., None]
+    out = v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
+
+    if normalize:
+        out = (out / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    return out

@@ -1,0 +1,99 @@
+"""Train state: optimizer wiring (AdamW with backbone/main param groups,
+MultiStep LR, global-norm clipping) + EMA shadow, all as one pytree.
+
+Optimizer contract mirrors R1/main.py:222-233 (AdamW lr 1e-4, backbone lr
+1e-5, weight decay 1e-4, MultiStepLR gamma 0.1 at [80, 120] epochs, grad
+clip 0.1) and the R2 regex param groups (R2/src/core/yaml_config.py:134-177)
+generalised to path-predicate groups.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from .ema import ema_init
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 1e-4
+    lr_backbone: float = 1e-5
+    weight_decay: float = 1e-4
+    clip_max_norm: float = 0.1
+    lr_drop_steps: Tuple[int, ...] = ()  # in optimizer steps
+    lr_drop_gamma: float = 0.1
+    use_ema: bool = False
+    ema_decay: float = 0.9999
+    betas: Tuple[float, float] = (0.9, 0.999)
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any  # None when EMA disabled
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    apply_fn: Callable = flax.struct.field(pytree_node=False)
+
+
+def _multistep_schedule(base_lr, drop_steps, gamma):
+    if not drop_steps:
+        return base_lr
+    boundaries = {int(s): gamma for s in drop_steps}
+    return optax.piecewise_constant_schedule(base_lr, boundaries)
+
+
+def make_optimizer(cfg: TrainConfig, params,
+                   backbone_predicate: Optional[Callable] = None):
+    """AdamW with a separate backbone LR group + clip + MultiStep schedule."""
+    if backbone_predicate is None:
+        backbone_predicate = lambda path: path and path[0] == "backbone"
+
+    def label_fn(tree):
+        flat = flax.traverse_util.flatten_dict(tree)
+        labels = {
+            k: ("backbone" if backbone_predicate(k) else "main") for k in flat
+        }
+        return flax.traverse_util.unflatten_dict(labels)
+
+    def adamw(lr):
+        return optax.adamw(
+            _multistep_schedule(lr, cfg.lr_drop_steps, cfg.lr_drop_gamma),
+            b1=cfg.betas[0],
+            b2=cfg.betas[1],
+            weight_decay=cfg.weight_decay,
+        )
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.clip_max_norm),
+        optax.multi_transform(
+            {"backbone": adamw(cfg.lr_backbone), "main": adamw(cfg.lr)},
+            label_fn,
+        ),
+    )
+    return tx
+
+
+def create_train_state(model, rng, sample_input, cfg: TrainConfig,
+                       backbone_predicate=None) -> TrainState:
+    variables = model.init(rng, sample_input, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(cfg, params, backbone_predicate)
+    opt_state = tx.init(params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        ema_params=ema_init(params) if cfg.use_ema else None,
+        tx=tx,
+        apply_fn=model.apply,
+    )
