@@ -1,0 +1,99 @@
+"""End-to-end throughput benchmark (driver contract: ONE JSON line).
+
+Measures the metric from BASELINE.md: end-to-end images/sec of the
+device-resident eval pipeline crop -> keypoint model -> batched PnP ->
+quaternion, on the flagship R1 config (resnet50s8 DETR, input 224, matching
+the reference's measured ~125 img/s single-GPU eval, gen_single.sh /
+R1/get_inference_time.py:20-35).
+
+Synthetic packed buffers stand in for decoded JPEG crops (the reference's
+125 img/s likewise excludes JPEG decode, counted separately in its `data:`
+meter). Everything from the uint8 buffer onward runs as one jit program on
+device.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from satellite_pose_estimation_tpu.models.detr import (
+        DETRConfig,
+        DETRKeypointModel,
+    )
+    from satellite_pose_estimation_tpu.train.state import (
+        TrainConfig,
+        create_train_state,
+    )
+    from satellite_pose_estimation_tpu.train.steps import make_eval_step
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "128"))
+    input_size = int(os.environ.get("BENCH_INPUT", "224"))
+    pack = int(os.environ.get("BENCH_PACK", "256"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    compute_dtype = jnp.bfloat16
+
+    cfg = DETRConfig(
+        backbone="resnet50s8",
+        enc_layers=4,
+        dec_layers=4,
+        num_queries=20,
+        dropout=0.0,
+        dtype=compute_dtype,
+    )
+    model = DETRKeypointModel(cfg)
+    state = create_train_state(
+        model,
+        jax.random.PRNGKey(0),
+        jnp.zeros((batch_size, input_size, input_size, 3), jnp.float32),
+        TrainConfig(),
+    )
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(
+            rng.randint(0, 255, (batch_size, pack, pack, 3)), jnp.uint8
+        ),
+        "clip_bbox_buf": jnp.tile(
+            jnp.asarray([8.0, 8.0, 248.0, 248.0], jnp.float32), (batch_size, 1)
+        ),
+        "clip_bbox": jnp.tile(
+            jnp.asarray([700.0, 400.0, 1100.0, 800.0], jnp.float32),
+            (batch_size, 1),
+        ),
+    }
+
+    eval_step = make_eval_step(out_size=input_size, solver="simple")
+
+    # Warmup / compile
+    res = eval_step(state, batch)
+    jax.block_until_ready(res)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = eval_step(state, batch)
+    jax.block_until_ready(res)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch_size * iters / dt
+    baseline = 125.0  # reference single-GPU eval throughput
+    print(
+        json.dumps(
+            {
+                "metric": "end-to-end eval images/sec/chip (crop->keypoints->PnP)",
+                "value": round(imgs_per_sec, 2),
+                "unit": "images/sec",
+                "vs_baseline": round(imgs_per_sec / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""RT-DETR composite model: PResNet -> HybridEncoder -> RTDETRTransformer.
+
+Capability parity with R2/src/zoo/rtdetr/rtdetr.py:20-61. ``deploy`` swaps
+every RepVggBlock to its fused single-conv form; use
+``convert_params_to_deploy`` to fold trained branch weights into the fused
+kernels (the reference's convert_to_deploy walk).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .hybrid_encoder import HybridEncoder, fuse_repvgg_params
+from .presnet import PResNet
+from .rtdetr_decoder import RTDETRTransformer
+
+
+@dataclasses.dataclass(frozen=True)
+class RTDETRConfig:
+    """Mirrors the rtdetr_r50vd speed config surface
+    (R2/configs/rtdetr_speed/include/rtdetr_r50vd.yml)."""
+
+    depth: int = 50
+    variant: str = "d"
+    return_idx: Sequence[int] = (1, 2, 3)
+    freeze_norm: bool = True
+    num_classes: int = 11
+    hidden_dim: int = 256
+    num_queries: int = 30
+    num_decoder_layers: int = 3
+    nhead: int = 8
+    dim_feedforward: int = 1024
+    expansion: float = 1.0
+    dropout: float = 0.0
+    learnt_init_query: bool = False
+    deploy: bool = False
+    dtype: Any = jnp.float32
+
+
+class RTDETR(nn.Module):
+    config: RTDETRConfig
+
+    @nn.compact
+    def __call__(self, images, train: bool = False):
+        cfg = self.config
+        backbone = PResNet(
+            depth=cfg.depth,
+            variant=cfg.variant,
+            return_idx=cfg.return_idx,
+            freeze_norm=cfg.freeze_norm,
+            dtype=cfg.dtype,
+            name="backbone",
+        )
+        feats = backbone(images, train)
+        feats = HybridEncoder(
+            in_channels=tuple(backbone.out_channels),
+            hidden_dim=cfg.hidden_dim,
+            nhead=cfg.nhead,
+            dim_feedforward=cfg.dim_feedforward,
+            expansion=cfg.expansion,
+            dropout=cfg.dropout,
+            deploy=cfg.deploy,
+            dtype=cfg.dtype,
+            name="encoder",
+        )(feats, train)
+        return RTDETRTransformer(
+            num_classes=cfg.num_classes,
+            hidden_dim=cfg.hidden_dim,
+            num_queries=cfg.num_queries,
+            num_decoder_layers=cfg.num_decoder_layers,
+            nhead=cfg.nhead,
+            dim_feedforward=cfg.dim_feedforward,
+            dropout=cfg.dropout,
+            learnt_init_query=cfg.learnt_init_query,
+            dtype=cfg.dtype,
+            name="decoder",
+        )(feats, train)
+
+
+def convert_params_to_deploy(params, batch_stats):
+    """Fold every RepVggBlock's two conv+BN branches into the fused conv the
+    deploy-mode model expects. Returns new params tree for
+    RTDETRConfig(deploy=True)."""
+    import copy
+
+    def walk(p, s):
+        if not isinstance(p, dict):
+            return p
+        if "conv1" in p and "conv2" in p and "conv" in p.get("conv1", {}):
+            # looks like a RepVggBlock
+            return fuse_repvgg_params(p, s)
+        return {
+            k: walk(v, s.get(k, {}) if isinstance(s, dict) else {})
+            for k, v in p.items()
+        }
+
+    return walk(copy.deepcopy(dict(params)), dict(batch_stats))

@@ -1,0 +1,308 @@
+"""RT-DETR point-query decoder with per-layer Gaussian sigma heads (flax).
+
+Capability parity with R2/src/zoo/rtdetr/rtdetr_decoder.py:376-777, the
+uncertainty paper's specialisation of RT-DETR from 4-D boxes to 2-D points:
+
+* per-pixel (x, y) anchors in logit space over all pyramid levels
+  (_generate_anchors :584-616);
+* an encoder head scores every flattened token; the top-K(num_queries)
+  tokens provide initial reference points + detached region features
+  (_get_decoder_input :618-685);
+* decoder layers: query self-attention + MSDeformableAttention
+  (sampling-offset/attention-weight linears over n_levels x n_points) + FFN,
+  with iterative inverse-sigmoid point refinement;
+* per-layer sigma head MLP(h, h, 1, 3), output broadcast to (x, y)
+  (:295-297, :367);
+* outputs pred_logits/pred_pts/pred_sigmas + aux per layer + enc-topk aux.
+
+Denoising (num_denoising) is plumbed in the reference but hardcoded off for
+the speed task (:693-698, configs set num_denoising: 0); we implement the
+exercised path.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.deform_attn import deformable_attention_core
+from .layers import MLP, get_activation
+from .transformer import _Attention
+
+
+def inverse_sigmoid(x, eps=1e-5):
+    x = jnp.clip(x, 0.0, 1.0)
+    return jnp.log(jnp.clip(x, eps) / jnp.clip(1.0 - x, eps))
+
+
+class MSDeformableAttention(nn.Module):
+    embed_dim: int = 256
+    num_heads: int = 8
+    num_levels: int = 3
+    num_points: int = 4
+    dtype: Any = jnp.float32
+
+    def _offset_bias_init(self, key, shape, dtype=jnp.float32):
+        """Reference init: ring of unit directions scaled 1..num_points
+        (R2 rtdetr_decoder.py:75-90)."""
+        thetas = jnp.arange(self.num_heads, dtype=jnp.float32) * (
+            2.0 * math.pi / self.num_heads
+        )
+        grid = jnp.stack([jnp.cos(thetas), jnp.sin(thetas)], -1)
+        grid = grid / jnp.max(jnp.abs(grid), axis=-1, keepdims=True)
+        grid = jnp.tile(
+            grid.reshape(self.num_heads, 1, 1, 2),
+            (1, self.num_levels, self.num_points, 1),
+        )
+        scaling = jnp.arange(1, self.num_points + 1, dtype=jnp.float32)
+        grid = grid * scaling.reshape(1, 1, -1, 1)
+        return grid.reshape(-1).astype(dtype)
+
+    @nn.compact
+    def __call__(self, query, reference_points, value, spatial_shapes):
+        """
+        query: (B, Q, C); reference_points: (B, Q, 2) in [0,1];
+        value: (B, L, C); spatial_shapes: static [(h, w)] list.
+        """
+        B, Q, C = query.shape
+        L = value.shape[1]
+        total = self.num_heads * self.num_levels * self.num_points
+
+        v = nn.Dense(self.embed_dim, dtype=self.dtype, name="value_proj")(value)
+        v = v.reshape(B, L, self.num_heads, self.embed_dim // self.num_heads)
+
+        offsets = nn.Dense(
+            total * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=self._offset_bias_init,
+            dtype=self.dtype,
+            name="sampling_offsets",
+        )(query).reshape(B, Q, self.num_heads, self.num_levels, self.num_points, 2)
+        attw = nn.Dense(
+            total,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="attention_weights",
+        )(query).reshape(B, Q, self.num_heads, self.num_levels * self.num_points)
+        attw = jax.nn.softmax(attw, axis=-1).reshape(
+            B, Q, self.num_heads, self.num_levels, self.num_points
+        )
+
+        # offset normalizer (w, h) per level (reference flips [h,w]->[w,h])
+        normalizer = jnp.asarray(
+            [[w, h] for (h, w) in spatial_shapes], jnp.float32
+        ).reshape(1, 1, 1, self.num_levels, 1, 2)
+        locations = (
+            reference_points[:, :, None, None, None, :]
+            + offsets / normalizer
+        )
+
+        out = deformable_attention_core(
+            v.astype(self.dtype), list(spatial_shapes), locations, attw
+        )
+        return nn.Dense(self.embed_dim, dtype=self.dtype, name="output_proj")(out)
+
+
+class RTDecoderLayer(nn.Module):
+    d_model: int = 256
+    n_head: int = 8
+    dim_feedforward: int = 1024
+    dropout: float = 0.0
+    activation: str = "relu"
+    n_levels: int = 3
+    n_points: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, reference_points, memory, spatial_shapes,
+                 query_pos, deterministic=True):
+        act = get_activation(self.activation)
+        drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+        q = k = tgt + query_pos
+        sa = _Attention(self.d_model, self.n_head, self.dropout, self.dtype,
+                        name="self_attn")(q, k, tgt, deterministic)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt + drop(sa))
+
+        ca = MSDeformableAttention(
+            self.d_model, self.n_head, self.n_levels, self.n_points,
+            self.dtype, name="cross_attn",
+        )(tgt + query_pos, reference_points, memory, spatial_shapes)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt + drop(ca))
+
+        ff = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(tgt)
+        ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(
+            nn.Dropout(self.dropout)(act(ff), deterministic=deterministic)
+        )
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt + drop(ff))
+        return tgt
+
+
+def _bias_init_with_prob(prior=0.01):
+    return float(-math.log((1 - prior) / prior))
+
+
+class RTDETRTransformer(nn.Module):
+    num_classes: int = 11
+    hidden_dim: int = 256
+    num_queries: int = 30
+    feat_channels: Sequence[int] = (256, 256, 256)
+    feat_strides: Sequence[int] = (8, 16, 32)
+    num_levels: int = 3
+    num_decoder_points: int = 4
+    nhead: int = 8
+    num_decoder_layers: int = 3
+    dim_feedforward: int = 1024
+    dropout: float = 0.0
+    activation: str = "relu"
+    learnt_init_query: bool = False
+    eval_idx: int = -1
+    eps: float = 1e-2
+    aux_loss: bool = True
+    dtype: Any = jnp.float32
+
+    def _anchors(self, spatial_shapes):
+        anchors = []
+        for (h, w) in spatial_shapes:
+            gx = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+            gy = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+            gxx, gyy = jnp.meshgrid(gx, gy, indexing="xy")
+            anchors.append(jnp.stack([gxx, gyy], -1).reshape(h * w, 2))
+        anchors = jnp.concatenate(anchors, 0)  # (L, 2)
+        valid = jnp.all(
+            (anchors > self.eps) & (anchors < 1 - self.eps), -1, keepdims=True
+        )
+        logit = jnp.log(anchors / (1 - anchors))
+        logit = jnp.where(valid, logit, jnp.inf)
+        return logit, valid
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        cfg_dtype = self.dtype
+        # --- flatten multi-level features + per-level projection
+        proj_feats = []
+        spatial_shapes = []
+        for i, feat in enumerate(feats):
+            b, h, w, c = feat.shape
+            if c != self.hidden_dim or True:
+                # 1x1 conv + BN projection (identity channels still get it,
+                # matching _build_input_proj_layer)
+                x = nn.Conv(self.hidden_dim, (1, 1), use_bias=False,
+                            dtype=cfg_dtype, name=f"input_proj_{i}_conv")(feat)
+                x = nn.BatchNorm(
+                    momentum=0.9, epsilon=1e-5, dtype=cfg_dtype,
+                    name=f"input_proj_{i}_norm",
+                )(x, use_running_average=not train)
+            spatial_shapes.append((h, w))
+            proj_feats.append(x.reshape(b, h * w, self.hidden_dim))
+        memory = jnp.concatenate(proj_feats, axis=1)  # (B, L, C)
+        B, L, _ = memory.shape
+
+        # --- encoder head + top-K query selection
+        anchors, valid_mask = self._anchors(spatial_shapes)
+        out_mem = nn.Dense(self.hidden_dim, dtype=cfg_dtype, name="enc_output_0")(
+            memory
+        )
+        out_mem = nn.LayerNorm(dtype=cfg_dtype, name="enc_output_1")(out_mem)
+
+        enc_logits = nn.Dense(
+            self.num_classes + 1,
+            bias_init=nn.initializers.constant(_bias_init_with_prob()),
+            dtype=cfg_dtype,
+            name="enc_score_head",
+        )(out_mem)  # (B, L, C+1)
+        enc_coord_delta = MLP(self.hidden_dim, 2, 3, dtype=cfg_dtype,
+                              name="enc_bbox_head")(out_mem)
+        enc_coord_unact = enc_coord_delta + anchors[None]  # (B, L, 2)
+
+        topk = self.num_queries
+        scores = jnp.max(enc_logits, axis=-1)  # (B, L)
+        _, topk_ind = jax.lax.top_k(scores, topk)  # (B, K)
+
+        gather = lambda arr: jnp.take_along_axis(
+            arr, topk_ind[..., None].repeat(arr.shape[-1], -1), axis=1
+        )
+        ref_points_unact = jax.lax.stop_gradient(gather(enc_coord_unact))
+        enc_topk_points = jax.nn.sigmoid(gather(enc_coord_unact))
+        enc_topk_logits = gather(enc_logits)
+
+        if self.learnt_init_query:
+            tgt_embed = self.param(
+                "tgt_embed", nn.initializers.xavier_uniform(),
+                (self.num_queries, self.hidden_dim),
+            )
+            target = jnp.tile(tgt_embed[None], (B, 1, 1)).astype(cfg_dtype)
+        else:
+            target = jax.lax.stop_gradient(gather(out_mem))
+
+        # --- decoder with iterative refinement + sigma heads
+        query_pos_head = MLP(2 * self.hidden_dim, self.hidden_dim, 2,
+                             dtype=cfg_dtype, name="query_pos_head")
+        dec_out_logits = []
+        dec_out_points = []
+        dec_out_sigmas = []
+
+        ref_points_detach = jax.nn.sigmoid(ref_points_unact)
+        output = target
+        ref_points = None
+        for i in range(self.num_decoder_layers):
+            query_pos = query_pos_head(ref_points_detach)
+            output = RTDecoderLayer(
+                self.hidden_dim, self.nhead, self.dim_feedforward,
+                self.dropout, self.activation, self.num_levels,
+                self.num_decoder_points, cfg_dtype, name=f"decoder_layer_{i}",
+            )(output, ref_points_detach, memory, spatial_shapes, query_pos,
+              deterministic=not train)
+
+            delta = MLP(self.hidden_dim, 2, 3, dtype=cfg_dtype,
+                        name=f"dec_bbox_head_{i}")(output)
+            inter_ref = jax.nn.sigmoid(delta + inverse_sigmoid(ref_points_detach))
+
+            logits_i = nn.Dense(
+                self.num_classes + 1,
+                bias_init=nn.initializers.constant(_bias_init_with_prob()),
+                dtype=cfg_dtype,
+                name=f"dec_score_head_{i}",
+            )(output)
+            dec_out_logits.append(logits_i)
+            if i == 0:
+                dec_out_points.append(inter_ref)
+            else:
+                dec_out_points.append(
+                    jax.nn.sigmoid(delta + inverse_sigmoid(ref_points))
+                )
+            sigma_i = MLP(self.hidden_dim, 1, 3, dtype=cfg_dtype,
+                          name=f"sigma_embed_{i}")(output)
+            dec_out_sigmas.append(jnp.repeat(sigma_i, 2, axis=-1))
+
+            ref_points = inter_ref
+            ref_points_detach = (
+                jax.lax.stop_gradient(inter_ref) if train else inter_ref
+            )
+
+        out = {
+            "pred_logits": dec_out_logits[-1].astype(jnp.float32),
+            "pred_points": dec_out_points[-1].astype(jnp.float32),
+            "pred_sigmas": dec_out_sigmas[-1].astype(jnp.float32),
+        }
+        if self.aux_loss:
+            aux = [
+                {
+                    "pred_logits": dec_out_logits[i].astype(jnp.float32),
+                    "pred_points": dec_out_points[i].astype(jnp.float32),
+                    "pred_sigmas": dec_out_sigmas[i].astype(jnp.float32),
+                }
+                for i in range(self.num_decoder_layers - 1)
+            ]
+            aux.append(
+                {
+                    "pred_logits": enc_topk_logits.astype(jnp.float32),
+                    "pred_points": enc_topk_points.astype(jnp.float32),
+                }
+            )
+            out["aux_outputs"] = aux
+        return out

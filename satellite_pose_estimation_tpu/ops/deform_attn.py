@@ -1,0 +1,94 @@
+"""Multi-scale deformable attention sampling core — TPU-native.
+
+Replaces the reference's grid_sample-based core
+(R2/src/zoo/rtdetr/utils.py:15-64, F.grid_sample bilinear, padding zeros,
+align_corners=False) with a vectorised gather+lerp over the flattened
+multi-level value tensor. XLA has no grid_sample primitive; at RT-DETR-speed
+sizes (30 queries x 8 heads x 3 levels x 4 points) a batched take_along_axis
+is the right shape for the TPU: one gather per level, fused multiply-add for
+the bilinear weights, einsum for the attention-weighted reduction.
+
+Coordinate contract: sampling_locations in [0, 1] normalized per level;
+grid_sample(align_corners=False) maps g in [-1, 1] to pixel
+((g + 1) * size - 1) / 2, so loc -> pixel = loc * size - 0.5. Out-of-range
+taps contribute zero (padding_mode='zeros').
+"""
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def deformable_attention_core(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """
+    Args:
+        value: (B, L_total, H, C) flattened multi-level values.
+        spatial_shapes: static list of (h, w) per level.
+        sampling_locations: (B, Q, H, n_levels, n_points, 2) in [0, 1].
+        attention_weights: (B, Q, H, n_levels, n_points), softmaxed.
+    Returns:
+        (B, Q, H * C)
+    """
+    B, _, H, C = value.shape
+    _, Q, _, n_levels, n_points, _ = sampling_locations.shape
+
+    level_start = []
+    s = 0
+    for (h, w) in spatial_shapes:
+        level_start.append(s)
+        s += h * w
+
+    outputs = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = jax.lax.dynamic_slice_in_dim(value, level_start[lvl], h * w, axis=1)
+        # (B, h*w, H, C) -> (B, H, h*w, C)
+        v = v.transpose(0, 2, 1, 3)
+
+        loc = sampling_locations[:, :, :, lvl]  # (B, Q, H, P, 2)
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        tx = x - x0
+        ty = y - y0
+
+        def tap(xi, yi):
+            inside = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+            xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+            yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+            flat = (yc * w + xc)  # (B, Q, H, P)
+            # gather per (batch, head): reorder to (B, H, Q*P)
+            idx = flat.transpose(0, 2, 1, 3).reshape(B, H, Q * n_points)
+            g = jnp.take_along_axis(
+                v, idx[..., None].astype(jnp.int32), axis=2
+            )  # (B, H, Q*P, C)
+            g = g.reshape(B, H, Q, n_points, C)
+            m = inside.transpose(0, 2, 1, 3)[..., None].astype(v.dtype)
+            return g * m
+
+        v00 = tap(x0, y0)
+        v01 = tap(x0 + 1, y0)
+        v10 = tap(x0, y0 + 1)
+        v11 = tap(x0 + 1, y0 + 1)
+        wx = tx.transpose(0, 2, 1, 3)[..., None]
+        wy = ty.transpose(0, 2, 1, 3)[..., None]
+        sampled = (
+            v00 * (1 - wx) * (1 - wy)
+            + v01 * wx * (1 - wy)
+            + v10 * (1 - wx) * wy
+            + v11 * wx * wy
+        )  # (B, H, Q, P, C)
+        outputs.append(sampled)
+
+    # (B, H, Q, n_levels, P, C)
+    stacked = jnp.stack(outputs, axis=3)
+    attw = attention_weights.transpose(0, 2, 1, 3, 4)  # (B, H, Q, L, P)
+    out = jnp.einsum("bhqlpc,bhqlp->bqhc", stacked, attw)
+    return out.reshape(B, Q, H * C)

@@ -12,7 +12,11 @@ import jax.numpy as jnp
 
 
 def ema_init(params):
-    return jax.tree_util.tree_map(lambda p: p.astype(jnp.float32), params)
+    # copy=True: astype on an f32 param would alias the same buffer, which
+    # breaks donation in the jitted train step (double-donate).
+    return jax.tree_util.tree_map(
+        lambda p: jnp.array(p, jnp.float32, copy=True), params
+    )
 
 
 def ema_update(ema_params, new_params, step, decay=0.9999, tau=2000.0):

@@ -1,0 +1,154 @@
+"""RT-DETR stack: shapes, deformable attention vs torch grid_sample oracle,
+RepVgg deploy fusion equivalence, and a train step."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from satellite_pose_estimation_tpu.ops.deform_attn import (
+    deformable_attention_core,
+)
+
+
+def test_deform_attn_matches_torch_grid_sample(rng):
+    import torch
+    import torch.nn.functional as F
+
+    B, H, C = 2, 4, 8
+    shapes = [(8, 8), (4, 4), (2, 2)]
+    L = sum(h * w for h, w in shapes)
+    Q, P = 5, 4
+    n_levels = len(shapes)
+
+    value = rng.randn(B, L, H, C).astype(np.float32)
+    loc = rng.rand(B, Q, H, n_levels, P, 2).astype(np.float32)
+    attw = rng.rand(B, Q, H, n_levels, P).astype(np.float32)
+    attw = attw / attw.sum((-1, -2), keepdims=True)
+
+    # torch oracle (reference core, R2/src/zoo/rtdetr/utils.py:15-64)
+    tv = torch.from_numpy(value)
+    split = [h * w for h, w in shapes]
+    value_list = tv.split(split, dim=1)
+    grids = torch.from_numpy(2 * loc - 1)
+    sampled = []
+    for lvl, (h, w) in enumerate(shapes):
+        v_l = value_list[lvl].flatten(2).permute(0, 2, 1).reshape(B * H, C, h, w)
+        g_l = grids[:, :, :, lvl].permute(0, 2, 1, 3, 4).flatten(0, 1)
+        s = F.grid_sample(v_l, g_l, mode="bilinear", padding_mode="zeros",
+                          align_corners=False)
+        sampled.append(s)
+    aw = torch.from_numpy(attw).permute(0, 2, 1, 3, 4).reshape(
+        B * H, 1, Q, n_levels * P
+    )
+    ref = (
+        (torch.stack(sampled, dim=-2).flatten(-2) * aw)
+        .sum(-1)
+        .reshape(B, H * C, Q)
+        .permute(0, 2, 1)
+        .numpy()
+    )
+
+    ours = np.asarray(
+        deformable_attention_core(
+            jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attw)
+        )
+    )
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+TINY = dict(
+    depth=18,
+    hidden_dim=32,
+    num_queries=12,
+    num_decoder_layers=2,
+    nhead=4,
+    dim_feedforward=64,
+    expansion=0.5,
+)
+
+
+def test_rtdetr_forward_shapes(rng):
+    from satellite_pose_estimation_tpu.models.rtdetr import (
+        RTDETR,
+        RTDETRConfig,
+    )
+
+    cfg = RTDETRConfig(**TINY)
+    model = RTDETR(cfg)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False,
+                      mutable=["batch_stats"])[0]
+    assert out["pred_logits"].shape == (2, 12, 12)
+    assert out["pred_points"].shape == (2, 12, 2)
+    assert out["pred_sigmas"].shape == (2, 12, 2)
+    # aux: (num_decoder_layers - 1) decoder aux + 1 enc-topk aux
+    assert len(out["aux_outputs"]) == cfg.num_decoder_layers
+    assert "pred_sigmas" not in out["aux_outputs"][-1]  # enc aux has no sigma
+    pts = np.asarray(out["pred_points"])
+    assert pts.min() >= 0 and pts.max() <= 1
+
+
+def test_repvgg_deploy_fusion(rng):
+    from satellite_pose_estimation_tpu.models.hybrid_encoder import (
+        RepVggBlock,
+        fuse_repvgg_params,
+    )
+
+    x = jnp.asarray(rng.rand(1, 8, 8, 16), jnp.float32)
+    block = RepVggBlock(ch_out=16, deploy=False)
+    variables = block.init(jax.random.PRNGKey(0), x, train=False)
+    # randomize batch stats so fusion is non-trivial
+    stats = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.rand(*a.shape) + 0.5, a.dtype),
+        variables["batch_stats"],
+    )
+    y_train_mode = block.apply(
+        {"params": variables["params"], "batch_stats": stats}, x, train=False
+    )
+
+    fused = fuse_repvgg_params(variables["params"], stats)
+    deploy_block = RepVggBlock(ch_out=16, deploy=True)
+    y_deploy = deploy_block.apply({"params": fused}, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(y_deploy), np.asarray(y_train_mode), atol=1e-5
+    )
+
+
+def test_rtdetr_train_step(rng):
+    from satellite_pose_estimation_tpu.models.rtdetr import (
+        RTDETR,
+        RTDETRConfig,
+    )
+    from satellite_pose_estimation_tpu.losses.criterion import (
+        CriterionConfig,
+        set_criterion,
+    )
+
+    cfg = RTDETRConfig(**TINY)
+    model = RTDETR(cfg)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=True)
+    targets = {
+        "labels": jnp.asarray(np.tile(np.arange(11), (2, 1)), jnp.int32),
+        "landmarks": jnp.asarray(rng.rand(2, 11, 2), jnp.float32),
+    }
+    ccfg = CriterionConfig(point_loss="uncert", eos_coef=1e-4, cost_class=2.0)
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        total, _ = set_criterion(out, targets, ccfg)
+        return total
+
+    val, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(val))
+    gnorm = float(
+        jnp.sqrt(
+            sum(jnp.sum(g ** 2) for g in jax.tree_util.tree_leaves(grads))
+        )
+    )
+    assert np.isfinite(gnorm) and gnorm > 0
