@@ -118,7 +118,7 @@ class SpeedTrainDataset:
         buf, bbox_buf, scale, offset = pack_crop(img, clip, self.pack_size)
         lm_buf = (landmarks - offset[None, :]) / scale
 
-        return {
+        sample = {
             "image": buf,  # (P, P, 3) uint8
             "clip_bbox_buf": bbox_buf.astype(np.float32),
             "clip_bbox": clip.astype(np.float32),  # original-image coords
@@ -128,6 +128,17 @@ class SpeedTrainDataset:
             "labels": np.arange(11, dtype=np.int32),
             "filename": info["filename"],
         }
+        if "q_vbs2tango" in info:
+            sample["quat_gt"] = np.asarray(info["q_vbs2tango"], np.float32)
+            sample["tvec_gt"] = np.asarray(
+                info["r_Vo2To_vbs_true"], np.float32
+            )
+        # Area proxy for the adaptive-threshold self-assessment solver
+        # (reference parenthesisation preserved, see crop.bbox_area).
+        from .crop import bbox_area
+
+        sample["bbox_area"] = np.float32(bbox_area(bbox))
+        return sample
 
     def batches(self, batch_size: int, shuffle: Optional[bool] = None,
                 drop_last: bool = True) -> Iterator[dict]:
@@ -170,14 +181,18 @@ class SpeedSubmissionDataset:
     def __getitem__(self, idx: int) -> dict:
         info = self.data_infos[idx]
         img = _decode(osp.join(self.data_root, self.img_dir, info["filename"]))
-        clip = generate_clip_bbox_submission(np.asarray(info["bbox_xxyy"]))
+        bbox = np.asarray(info["bbox_xxyy"])
+        clip = generate_clip_bbox_submission(bbox)
         buf, bbox_buf, scale, offset = pack_crop(img, clip, self.pack_size)
+        from .crop import bbox_area
+
         return {
             "image": buf,
             "clip_bbox_buf": bbox_buf.astype(np.float32),
             "clip_bbox": clip.astype(np.float32),
             "scale": np.float32(scale),
             "offset": offset.astype(np.float32),
+            "bbox_area": np.float32(bbox_area(bbox)),
             "filename": info["filename"],
         }
 

@@ -1,0 +1,299 @@
+"""Solver framework: config-driven fit/val loops with checkpointing, EMA,
+per-epoch evaluation and reference-compatible logging.
+
+Plays the role of R2/solver/{solver.py,speed_solver.py,speed_engine.py} and
+R1/{main.py,engine.py}:
+* fit(): epoch loop -> jitted train step per batch (device aug + model +
+  Hungarian + loss + grads + EMA) -> per-epoch eval with the device PnP
+  solver -> JSON-lines log.txt + eval_{epoch:04d}_log.json + scalars.json;
+* checkpoints every checkpoint_step epochs via orbax (full state: params,
+  optimizer, EMA, step, epoch); resume() restores everything,
+  load_tuning() does a shape-matched partial load preferring EMA weights
+  (R2/solver/solver.py:141-178);
+* TASKS registry mirrors R2/solver/__init__.py.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.yaml_config import YAMLConfig
+from ..data.augment import AugmentConfig
+from ..data.dataset import SpeedTrainDataset
+from ..geometry.solvers import SolverConfig
+from ..parallel.mesh import create_mesh, replicate_tree, shard_batch
+from ..utils.metric_logger import MetricLogger
+from .evaluator import SpeedEvaluator
+from .state import create_train_state
+from .steps import make_eval_step, make_train_step
+
+
+def _tree_flatten_with_path(params):
+    import flax
+
+    return flax.traverse_util.flatten_dict(params)
+
+
+class SpeedSolver:
+    """Landmarker-task solver (SPEED keypoints -> pose)."""
+
+    def __init__(self, cfg: YAMLConfig, data_root: str = "./data/speed",
+                 mesh=None, seed: int = 42):
+        self.cfg = cfg
+        self.data_root = data_root
+        self.mesh = mesh
+        self.seed = seed
+        self.output_dir = cfg.output_dir
+        os.makedirs(self.output_dir, exist_ok=True)
+        self.start_epoch = 0
+        self._resume_path = None
+        self._tuning_path = None
+
+    # --- construction ---------------------------------------------------
+    def _build(self):
+        cfg = self.cfg
+        train_settings = cfg.dataloader_settings("train")
+        val_settings = cfg.dataloader_settings("val")
+
+        self.train_ds = SpeedTrainDataset(
+            self.data_root,
+            ann_file=train_settings.ann_file,
+            index_file=train_settings.index_file,
+            img_dir=train_settings.img_dir,
+            resize=train_settings.resize,
+            train=True,
+            seed=self.seed,
+        )
+        self.val_ds = SpeedTrainDataset(
+            self.data_root,
+            ann_file=val_settings.ann_file,
+            index_file=val_settings.index_file,
+            img_dir=val_settings.img_dir,
+            resize=val_settings.resize,
+            train=False,
+            seed=self.seed,
+        )
+        self.batch_size = train_settings.batch_size
+        self.val_batch_size = val_settings.batch_size
+        self.resize = train_settings.resize
+
+        steps_per_epoch = max(len(self.train_ds) // self.batch_size, 1)
+        self.train_cfg = cfg.train_config(steps_per_epoch)
+        self.criterion_cfg = cfg.criterion_config()
+
+        model = cfg.build_model()
+        self.model = model
+        rng = jax.random.PRNGKey(self.seed)
+        sample = jnp.zeros(
+            (2, self.resize, self.resize, 3), jnp.float32
+        )
+        self.state = create_train_state(model, rng, sample, self.train_cfg)
+
+        if self.mesh is None and len(jax.devices()) > 1:
+            # Largest device count that divides both batch sizes (and keep
+            # single-device when batches are tiny).
+            n = len(jax.devices())
+            while n > 1 and (self.batch_size % n or self.val_batch_size % n):
+                n -= 1
+            if n > 1:
+                self.mesh = create_mesh(n)
+        if self.mesh is not None:
+            self.state = replicate_tree(self.state, self.mesh)
+
+        self.train_step = make_train_step(
+            self.criterion_cfg, self.train_cfg,
+            AugmentConfig(out_size=self.resize),
+        )
+        solver_kind = "sigma" if self.criterion_cfg.point_loss == "uncert" \
+            else "simple"
+        self.eval_step = make_eval_step(
+            solver_cfg=SolverConfig(input_size=self.resize),
+            out_size=self.resize,
+            solver=solver_kind,
+            use_ema=self.train_cfg.use_ema,
+        )
+
+        if self._tuning_path:
+            self._load_tuning(self._tuning_path)
+        if self._resume_path:
+            self._load_checkpoint(self._resume_path)
+
+    # --- checkpointing --------------------------------------------------
+    def _ckpt_dir(self, name):
+        return os.path.abspath(os.path.join(self.output_dir, name))
+
+    def save_checkpoint(self, epoch: int, name: str = "checkpoint"):
+        import orbax.checkpoint as ocp
+
+        path = self._ckpt_dir(name)
+        ckptr = ocp.StandardCheckpointer()
+        payload = {
+            "params": jax.device_get(self.state.params),
+            "batch_stats": jax.device_get(self.state.batch_stats),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "ema_params": jax.device_get(self.state.ema_params),
+            "step": int(self.state.step),
+            "last_epoch": epoch,
+        }
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
+
+    def _load_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        target = {
+            "params": jax.device_get(self.state.params),
+            "batch_stats": jax.device_get(self.state.batch_stats),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "ema_params": jax.device_get(self.state.ema_params),
+            "step": 0,
+            "last_epoch": 0,
+        }
+        restored = ckptr.restore(os.path.abspath(path), target)
+        self.state = self.state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            ema_params=restored["ema_params"],
+            step=jnp.asarray(restored["step"], jnp.int32),
+        )
+        self.start_epoch = int(restored["last_epoch"]) + 1
+        if self.mesh is not None:
+            self.state = replicate_tree(self.state, self.mesh)
+        print(f"Resume checkpoint from {path} (epoch {self.start_epoch})")
+
+    def _load_tuning(self, path: str):
+        """Shape-matched partial load, preferring EMA weights
+        (R2/solver/solver.py:141-178)."""
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        restored = ckptr.restore(os.path.abspath(path))
+        src = restored.get("ema_params") or restored.get("params") or {}
+        cur = _tree_flatten_with_path(self.state.params)
+        new = _tree_flatten_with_path(src) if src else {}
+        matched, skipped = {}, 0
+        for k, v in cur.items():
+            cand = new.get(k)
+            if cand is not None and np.shape(cand) == np.shape(v):
+                matched[k] = jnp.asarray(cand, v.dtype)
+            else:
+                matched[k] = v
+                skipped += 1
+        import flax
+
+        self.state = self.state.replace(
+            params=flax.traverse_util.unflatten_dict(matched)
+        )
+        print(f"Load tuning state from {path}: {len(matched) - skipped} "
+              f"matched, {skipped} kept")
+
+    def resume(self, path: str):
+        self._resume_path = path
+
+    def tuning(self, path: str):
+        self._tuning_path = path
+
+    # --- training -------------------------------------------------------
+    def fit(self):
+        self._build()
+        cfg = self.cfg
+        log_path = os.path.join(self.output_dir, "log.txt")
+        scalars = []
+        best_score = float("inf")
+
+        rng = jax.random.PRNGKey(self.seed)
+        for epoch in range(self.start_epoch, cfg.epoches):
+            rng, epoch_rng = jax.random.split(rng)
+            train_stats = self.train_one_epoch(epoch, epoch_rng)
+
+            if (epoch + 1) % cfg.checkpoint_step == 0 or \
+                    epoch == cfg.epoches - 1:
+                self.save_checkpoint(epoch)
+                self.save_checkpoint(epoch, name=f"checkpoint{epoch:04d}")
+
+            eval_stats, evaluator = self.evaluate(epoch)
+            scalars.append({"epoch": epoch, **eval_stats})
+            if eval_stats.get("score", float("inf")) < best_score:
+                best_score = eval_stats["score"]
+                self.save_checkpoint(epoch, name="checkpoint_best")
+
+            log_entry = {
+                **{f"train_{k}": v for k, v in train_stats.items()},
+                **{f"test_{k}": v for k, v in eval_stats.items()},
+                "epoch": epoch,
+            }
+            with open(log_path, "a") as f:
+                f.write(json.dumps(log_entry) + "\n")
+            evaluator.dump(
+                os.path.join(self.output_dir, f"eval_{epoch:04d}_log.json")
+            )
+        with open(os.path.join(self.output_dir, "scalars.json"), "w") as f:
+            json.dump(scalars, f)
+
+    def train_one_epoch(self, epoch: int, rng):
+        logger = MetricLogger()
+        n_batches = 0
+        for batch in logger.log_every(
+            self.train_ds.batches(self.batch_size),
+            self.cfg.log_step,
+            header=f"Epoch: [{epoch}]",
+        ):
+            batch.pop("filename", None)
+            batch.pop("clip_bbox", None)
+            batch.pop("quat_gt", None)
+            batch.pop("tvec_gt", None)
+            batch.pop("bbox_area", None)
+            batch.pop("scale", None)
+            batch.pop("offset", None)
+            if self.mesh is not None:
+                batch = shard_batch(batch, self.mesh)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            rng, step_rng = jax.random.split(rng)
+            self.state, losses = self.train_step(self.state, batch, step_rng)
+            n_batches += 1
+            if n_batches % self.cfg.log_step == 0:
+                host_losses = {
+                    k: float(v) for k, v in losses.items()
+                }
+                if not np.isfinite(host_losses["loss_total"]):
+                    # Loss-finite check (R1/engine.py:55-58): stop training.
+                    raise FloatingPointError(
+                        f"Loss is {host_losses['loss_total']}, stopping"
+                    )
+                logger.update(**host_losses)
+        return {k: m.global_avg for k, m in logger.meters.items()}
+
+    # --- evaluation -----------------------------------------------------
+    def evaluate(self, epoch: int = -1):
+        evaluator = SpeedEvaluator()
+        for batch in self.val_ds.batches(
+            self.val_batch_size, shuffle=False, drop_last=False
+        ):
+            filenames = batch.pop("filename")
+            batch.pop("landmarks_buf", None)
+            batch.pop("labels", None)
+            device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            results = self.eval_step(self.state, device_batch)
+            evaluator.update_batch(filenames, jax.device_get(results))
+        stats_str = evaluator.summarize()
+        print(f"Eval epoch {epoch}: {stats_str}")
+        return evaluator.scalar_summary(), evaluator
+
+    def val(self):
+        self._build()
+        return self.evaluate()
+
+
+TASKS = {
+    "landmarker": SpeedSolver,
+    "detection": SpeedSolver,  # COCO detection task routes here for now
+}
