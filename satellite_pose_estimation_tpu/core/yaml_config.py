@@ -120,7 +120,16 @@ class YAMLConfig:
         p = self.yaml_cfg.get("PResNet", {}) or {}
         h = self.yaml_cfg.get("HybridEncoder", {}) or {}
         t = self.yaml_cfg.get("RTDETRTransformer", {}) or {}
+        backbone_name = (self.yaml_cfg.get("RTDETR", {}) or {}).get(
+            "backbone", "PResNet"
+        )
+        backbone = {
+            "PResNet": "presnet",
+            "MobileNetV3_Large": "mobilenetv3_large",
+            "MobileNetV3_Small": "mobilenetv3_small",
+        }.get(backbone_name, "presnet")
         cfg = RTDETRConfig(
+            backbone=backbone,
             depth=int(p.get("depth", 50)),
             variant=p.get("variant", "d"),
             return_idx=tuple(p.get("return_idx", [1, 2, 3])),

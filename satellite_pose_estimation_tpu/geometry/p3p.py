@@ -168,14 +168,29 @@ def p3p_solutions(world3, image_pix3, K):
         axis=1,
     )  # (4 candidates, 3 points, 3)
 
-    ones3 = jnp.ones((3,), dtype)
+    # Closed-form rigid alignment via orthonormal triads: P3P camera points
+    # have exactly matching pairwise distances, so no least-squares (SVD)
+    # alignment is needed — R = camera_frame @ world_frame^T. This removes
+    # 4 batched 3x3 SVDs per minimal sample (the RANSAC hot spot on TPU).
+    def triad(p):
+        e1 = p[..., 1, :] - p[..., 0, :]
+        e2 = p[..., 2, :] - p[..., 0, :]
+        u1 = e1 / jnp.maximum(
+            jnp.linalg.norm(e1, axis=-1, keepdims=True), 1e-12
+        )
+        e2p = e2 - jnp.sum(e2 * u1, axis=-1, keepdims=True) * u1
+        u2 = e2p / jnp.maximum(
+            jnp.linalg.norm(e2p, axis=-1, keepdims=True), 1e-12
+        )
+        u3 = jnp.cross(u1, u2)
+        return jnp.stack([u1, u2, u3], axis=-1)  # columns
 
-    def solve_one(pc_i):
-        return _kabsch(world3, pc_i, ones3)
-
-    Rs, ts = jnp.vectorize(
-        solve_one, signature="(n,d)->(d,d),(d)"
-    )(pc)
+    Fw = triad(world3)  # (3, 3)
+    Fc = triad(pc)  # (4, 3, 3)
+    Rs = Fc @ jnp.swapaxes(Fw, -1, -2)[None]
+    cw = jnp.mean(world3, axis=0)
+    cc = jnp.mean(pc, axis=1)
+    ts = cc - jnp.einsum("kij,j->ki", Rs, cw)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), Rs.shape)
     Rs = jnp.where(valid[:, None, None], Rs, eye)
     ts = jnp.where(valid[:, None], ts, jnp.zeros_like(ts))

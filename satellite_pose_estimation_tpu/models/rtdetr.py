@@ -23,6 +23,7 @@ class RTDETRConfig:
     """Mirrors the rtdetr_r50vd speed config surface
     (R2/configs/rtdetr_speed/include/rtdetr_r50vd.yml)."""
 
+    backbone: str = "presnet"  # presnet | mobilenetv3_large | mobilenetv3_small
     depth: int = 50
     variant: str = "d"
     return_idx: Sequence[int] = (1, 2, 3)
@@ -46,14 +47,23 @@ class RTDETR(nn.Module):
     @nn.compact
     def __call__(self, images, train: bool = False):
         cfg = self.config
-        backbone = PResNet(
-            depth=cfg.depth,
-            variant=cfg.variant,
-            return_idx=cfg.return_idx,
-            freeze_norm=cfg.freeze_norm,
-            dtype=cfg.dtype,
-            name="backbone",
-        )
+        if cfg.backbone.startswith("mobilenetv3"):
+            from .mobilenetv3 import MobileNetV3
+
+            backbone = MobileNetV3(
+                mode=cfg.backbone.split("_")[-1],
+                dtype=cfg.dtype,
+                name="backbone",
+            )
+        else:
+            backbone = PResNet(
+                depth=cfg.depth,
+                variant=cfg.variant,
+                return_idx=cfg.return_idx,
+                freeze_norm=cfg.freeze_norm,
+                dtype=cfg.dtype,
+                name="backbone",
+            )
         feats = backbone(images, train)
         feats = HybridEncoder(
             in_channels=tuple(backbone.out_channels),

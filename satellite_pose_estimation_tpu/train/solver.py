@@ -202,12 +202,23 @@ class SpeedSolver:
         self._tuning_path = path
 
     # --- training -------------------------------------------------------
+    def _tb_writer(self):
+        """tensorboardX writer (R2/solver/speed_solver.py:18-20 parity);
+        None when tensorboardX is unavailable."""
+        try:
+            from tensorboardX import SummaryWriter
+
+            return SummaryWriter(os.path.join(self.output_dir, "tb"))
+        except Exception:
+            return None
+
     def fit(self):
         self._build()
         cfg = self.cfg
         log_path = os.path.join(self.output_dir, "log.txt")
         scalars = []
         best_score = float("inf")
+        tb = self._tb_writer()
 
         rng = jax.random.PRNGKey(self.seed)
         for epoch in range(self.start_epoch, cfg.epoches):
@@ -235,8 +246,19 @@ class SpeedSolver:
             evaluator.dump(
                 os.path.join(self.output_dir, f"eval_{epoch:04d}_log.json")
             )
+            if tb is not None:
+                for k, v in train_stats.items():
+                    tb.add_scalar(f"train/{k}", v, epoch)
+                for k in ("score", "score_tvec", "score_quat"):
+                    if k in eval_stats:
+                        tb.add_scalar(f"eval/{k}", eval_stats[k], epoch)
         with open(os.path.join(self.output_dir, "scalars.json"), "w") as f:
             json.dump(scalars, f)
+        if tb is not None:
+            tb.export_scalars_to_json(
+                os.path.join(self.output_dir, "all_scalars.json")
+            )
+            tb.close()
 
     def train_one_epoch(self, epoch: int, rng):
         logger = MetricLogger()

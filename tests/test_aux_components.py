@@ -1,0 +1,163 @@
+"""Aux components: alt backbones, RealNVP, denoising, classification,
+submission writer golden file, checkpoint converter."""
+import io
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_mobilenetv3_pyramid(rng):
+    from satellite_pose_estimation_tpu.models.mobilenetv3 import MobileNetV3
+
+    m = MobileNetV3(mode="large")
+    x = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x, train=False)
+    outs, _ = m.apply(variables, x, train=False, mutable=["batch_stats"])
+    assert [o.shape[1] for o in outs] == [8, 4, 2]  # strides 8/16/32
+    assert [o.shape[-1] for o in outs] == m.out_channels
+
+
+def test_rtdetr_with_mobilenet_backbone(rng):
+    from satellite_pose_estimation_tpu.models.rtdetr import RTDETR, RTDETRConfig
+
+    cfg = RTDETRConfig(
+        backbone="mobilenetv3_small", hidden_dim=32, num_queries=8,
+        num_decoder_layers=2, nhead=4, dim_feedforward=64, expansion=0.5,
+    )
+    model = RTDETR(cfg)
+    x = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out, _ = model.apply(variables, x, train=False, mutable=["batch_stats"])
+    assert out["pred_points"].shape == (1, 8, 2)
+
+
+def test_real_nvp_log_prob_finite(rng):
+    from satellite_pose_estimation_tpu.models.real_nvp import RealNVP
+
+    flow = RealNVP()
+    x = jnp.asarray(rng.randn(16, 2), jnp.float32)
+    variables = flow.init(jax.random.PRNGKey(0), x)
+    logp = flow.apply(variables, x, method=flow.log_prob)
+    assert logp.shape == (16,)
+    assert np.isfinite(np.asarray(logp)).all()
+    # At init (small weights) the flow is near-identity: log_prob should be
+    # within a few nats of the standard normal density.
+    ref = -0.5 * np.sum(np.asarray(x) ** 2, -1) - np.log(2 * np.pi)
+    assert np.abs(np.asarray(logp) - ref).mean() < 3.0
+
+
+def test_denoising_group_shapes(rng):
+    from satellite_pose_estimation_tpu.models.denoising import (
+        build_denoising_group,
+    )
+
+    B, T, C = 2, 11, 32
+    labels = jnp.asarray(np.tile(np.arange(T), (B, 1)), jnp.int32)
+    points = jnp.asarray(rng.rand(B, T, 2), jnp.float32)
+    embed = jnp.asarray(rng.randn(12, C), jnp.float32)
+    dn_embed, dn_pts, mask, meta = build_denoising_group(
+        jax.random.PRNGKey(0), labels, points, embed,
+        num_queries=30, num_classes=11, num_denoising=44,
+    )
+    G = meta["dn_num_group"]
+    n_dn = 2 * G * T
+    assert dn_embed.shape == (B, n_dn, C)
+    assert dn_pts.shape == (B, n_dn, 2)
+    assert mask.shape == (n_dn + 30, n_dn + 30)
+    # matching queries must not see dn queries
+    assert bool(mask[n_dn:, :n_dn].all())
+    # dn group 0 must not see group 1
+    assert bool(mask[0, 2 * T])
+
+
+def test_classification_forward(rng):
+    from satellite_pose_estimation_tpu.models.classification import (
+        Classification,
+    )
+
+    m = Classification(num_classes=10)
+    x = jnp.asarray(rng.rand(4, 32, 32, 3), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x, train=False)
+    logits, _ = m.apply(variables, x, train=False, mutable=["batch_stats"])
+    assert logits.shape == (4, 10)
+
+
+def test_submission_writer_golden(tmp_path):
+    from satellite_pose_estimation_tpu.utils.submission import SubmissionWriter
+
+    w = SubmissionWriter()
+    w.append_test("img000002.jpg", [1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 10.0])
+    w.append_test("img000001.jpg", [0.5, 0.5, 0.5, 0.5], [1.0, 2.0, 3.0])
+    w.append_real_test("img000001real.jpg", [0.0, 1.0, 0.0, 0.0],
+                       [4.0, 5.0, 6.0])
+    path = w.export(str(tmp_path), suffix="test")
+    with open(path) as f:
+        lines = f.read().splitlines()
+    # synthetic rows sorted first, then real rows
+    assert lines[0] == "img000001.jpg,0.5,0.5,0.5,0.5,1.0,2.0,3.0"
+    assert lines[1] == "img000002.jpg,1.0,0.0,0.0,0.0,0.0,0.0,10.0"
+    assert lines[2] == "img000001real.jpg,0.0,1.0,0.0,0.0,4.0,5.0,6.0"
+
+
+def test_torchvision_resnet_conversion(rng):
+    """Convert a real torch resnet18 and check numerical forward parity of
+    the stem (conv1+bn1+relu+maxpool) against torch."""
+    torch = pytest.importorskip("torch")
+    torchvision = pytest.importorskip("torchvision")
+
+    tmodel = torchvision.models.resnet18(weights=None)
+    tmodel.eval()
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+
+    from satellite_pose_estimation_tpu.utils.checkpoint_convert import (
+        convert_torchvision_resnet,
+    )
+    from satellite_pose_estimation_tpu.models.resnet import ResNet
+
+    params, stats = convert_torchvision_resnet(sd)
+    model = ResNet(arch="resnet18", taps=(3,), norm="frozen_bn")
+    x_np = rng.rand(1, 64, 64, 3).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(x_np), train=False
+    )
+    # Structure compatibility: converted tree keys must be a subset.
+    import flax
+
+    init_flat = flax.traverse_util.flatten_dict(variables["params"])
+    conv_flat = flax.traverse_util.flatten_dict(params)
+    missing = set(conv_flat) - set(init_flat)
+    assert not missing, f"converted keys absent from model: {missing}"
+    for k, v in conv_flat.items():
+        assert init_flat[k].shape == np.shape(v), k
+
+    out = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x_np), train=False,
+    )[0]
+
+    with torch.no_grad():
+        t_in = torch.from_numpy(x_np.transpose(0, 3, 1, 2))
+        feats = tmodel.conv1(t_in)
+        feats = tmodel.bn1(feats)
+        feats = tmodel.relu(feats)
+        feats = tmodel.maxpool(feats)
+        feats = tmodel.layer1(feats)
+        feats = tmodel.layer2(feats)
+        feats = tmodel.layer3(feats)
+        ref = feats.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
+def test_map_static_dicts_slices(rng):
+    from satellite_pose_estimation_tpu.utils.checkpoint_convert import (
+        map_static_dicts,
+    )
+
+    src = {"query_embed": rng.rand(100, 16), "head": {"kernel": rng.rand(16, 4)}}
+    dst = {"query_embed": np.zeros((20, 16)), "head": {"kernel": np.zeros((16, 4))}}
+    out = map_static_dicts(src, dst)
+    np.testing.assert_allclose(out["query_embed"], src["query_embed"][:20])
+    np.testing.assert_allclose(out["head"]["kernel"], src["head"]["kernel"])
