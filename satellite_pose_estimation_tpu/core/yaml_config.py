@@ -127,6 +127,7 @@ class YAMLConfig:
             "PResNet": "presnet",
             "MobileNetV3_Large": "mobilenetv3_large",
             "MobileNetV3_Small": "mobilenetv3_small",
+            "GhostNetV2": "ghostnetv2",
         }.get(backbone_name, "presnet")
         cfg = RTDETRConfig(
             backbone=backbone,

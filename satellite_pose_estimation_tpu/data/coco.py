@@ -1,0 +1,191 @@
+"""COCO detection data + evaluation (pycocotools-free).
+
+Capability parity with R2/src/data/coco/ (#46): CocoDetection parsing with
+optional mscoco category remap, and a pure-numpy COCO-protocol bbox
+evaluator (AP@[.5:.95], AP50, AP75, per-category PR with 101-point
+interpolation, greedy IoU matching like COCOeval). pycocotools is not in
+the image; this evaluator implements the same protocol natively.
+"""
+from __future__ import annotations
+
+import json
+import os.path as osp
+from collections import defaultdict
+from typing import Dict, List, Optional
+
+import numpy as np
+
+# classic 80-category mscoco id remap (sparse ids -> contiguous)
+MSCOCO_CATEGORY_IDS = [
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18, 19, 20, 21,
+    22, 23, 24, 25, 27, 28, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42,
+    43, 44, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 60, 61,
+    62, 63, 64, 65, 67, 70, 72, 73, 74, 75, 76, 77, 78, 79, 80, 81, 82, 84,
+    85, 86, 87, 88, 89, 90,
+]
+MSCOCO2LABEL = {cid: i for i, cid in enumerate(MSCOCO_CATEGORY_IDS)}
+
+
+class CocoDetection:
+    """Minimal COCO-instances dataset: decode + fixed-size resize +
+    normalized cxcywh box targets."""
+
+    def __init__(self, img_dir: str, ann_file: str, resize: int = 640,
+                 remap_mscoco_category: bool = False):
+        self.img_dir = img_dir
+        self.resize = resize
+        self.remap = remap_mscoco_category
+        with open(ann_file) as f:
+            coco = json.load(f)
+        self.images = {im["id"]: im for im in coco["images"]}
+        self.img_ids = sorted(self.images)
+        self.anns_by_img: Dict[int, list] = defaultdict(list)
+        for ann in coco.get("annotations", []):
+            if ann.get("iscrowd", 0):
+                continue
+            self.anns_by_img[ann["image_id"]].append(ann)
+        self.categories = coco.get("categories", [])
+
+    def __len__(self):
+        return len(self.img_ids)
+
+    def __getitem__(self, idx: int) -> dict:
+        from PIL import Image
+
+        img_id = self.img_ids[idx]
+        info = self.images[img_id]
+        img = np.asarray(
+            Image.open(osp.join(self.img_dir, info["file_name"])).convert("RGB")
+        )
+        H, W = img.shape[:2]
+        boxes, labels = [], []
+        for ann in self.anns_by_img[img_id]:
+            x, y, w, h = ann["bbox"]
+            cat = ann["category_id"]
+            if self.remap:
+                cat = MSCOCO2LABEL.get(cat, 0)
+            boxes.append([x, y, x + w, y + h])
+            labels.append(cat)
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        # normalized cxcywh
+        if len(boxes):
+            cxcywh = np.stack(
+                [
+                    (boxes[:, 0] + boxes[:, 2]) / 2 / W,
+                    (boxes[:, 1] + boxes[:, 3]) / 2 / H,
+                    (boxes[:, 2] - boxes[:, 0]) / W,
+                    (boxes[:, 3] - boxes[:, 1]) / H,
+                ],
+                axis=1,
+            )
+        else:
+            cxcywh = boxes
+        return {
+            "image_id": img_id,
+            "image": img,
+            "orig_size": np.asarray([W, H]),
+            "boxes": cxcywh,
+            "labels": np.asarray(labels, np.int32),
+        }
+
+
+def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """xyxy IoU (N, M)."""
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / np.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-9)
+
+
+class CocoEvaluator:
+    """COCO-protocol bbox AP. update() with per-image detections and GT;
+    summarize() returns {AP, AP50, AP75}."""
+
+    IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05)
+    RECALL_POINTS = np.linspace(0, 1, 101)
+
+    def __init__(self):
+        # per category: list of (score, matched[t]) and gt counts
+        self.dets = defaultdict(list)  # cat -> [(score, match_mask (T,))]
+        self.n_gt = defaultdict(int)
+
+    def update(self, gt_boxes, gt_labels, det_boxes, det_labels, det_scores):
+        """One image. Boxes xyxy pixel coords."""
+        gt_boxes = np.asarray(gt_boxes).reshape(-1, 4)
+        det_boxes = np.asarray(det_boxes).reshape(-1, 4)
+        gt_labels = np.asarray(gt_labels).astype(int)
+        det_labels = np.asarray(det_labels).astype(int)
+        det_scores = np.asarray(det_scores)
+
+        for cat in set(gt_labels.tolist()) | set(det_labels.tolist()):
+            g = gt_boxes[gt_labels == cat]
+            d_idx = np.where(det_labels == cat)[0]
+            d = det_boxes[d_idx]
+            s = det_scores[d_idx]
+            order = np.argsort(-s)
+            d, s = d[order], s[order]
+            self.n_gt[cat] += len(g)
+            if len(d) == 0:
+                continue
+            iou = _iou_matrix(d, g) if len(g) else np.zeros((len(d), 0))
+            T = len(self.IOU_THRESHOLDS)
+            taken = np.zeros((T, len(g)), bool)
+            for di in range(len(d)):
+                match = np.zeros(T, bool)
+                for ti, th in enumerate(self.IOU_THRESHOLDS):
+                    best, best_iou = -1, th
+                    for gi in range(len(g)):
+                        if taken[ti, gi]:
+                            continue
+                        if iou[di, gi] >= best_iou:
+                            best, best_iou = gi, iou[di, gi]
+                    if best >= 0:
+                        taken[ti, best] = True
+                        match[ti] = True
+                self.dets[cat].append((float(s[di]), match))
+
+    def _ap_per_cat(self, cat) -> np.ndarray:
+        entries = sorted(self.dets[cat], key=lambda e: -e[0])
+        n_gt = self.n_gt[cat]
+        T = len(self.IOU_THRESHOLDS)
+        if n_gt == 0:
+            return np.full(T, np.nan)
+        if not entries:
+            return np.zeros(T)
+        matches = np.stack([m for _, m in entries])  # (D, T)
+        tp = np.cumsum(matches, axis=0)
+        fp = np.cumsum(~matches, axis=0)
+        recall = tp / n_gt
+        precision = tp / np.maximum(tp + fp, 1e-9)
+        ap = np.zeros(T)
+        for ti in range(T):
+            p = precision[:, ti]
+            r = recall[:, ti]
+            # monotone precision envelope + 101-point interpolation
+            p_env = np.maximum.accumulate(p[::-1])[::-1]
+            ap[ti] = np.mean(
+                np.interp(self.RECALL_POINTS, r, p_env, left=p_env[0],
+                          right=0.0)
+                if len(r)
+                else 0.0
+            )
+        return ap
+
+    def summarize(self) -> dict:
+        cats = sorted(set(self.n_gt) | set(self.dets))
+        aps = np.stack([self._ap_per_cat(c) for c in cats]) if cats else \
+            np.zeros((1, len(self.IOU_THRESHOLDS)))
+        mean_ap = np.nanmean(aps, axis=0)
+        stats = {
+            "AP": float(np.nanmean(mean_ap)),
+            "AP50": float(mean_ap[0]),
+            "AP75": float(mean_ap[5]),
+        }
+        print(
+            "COCO bbox eval: AP {AP:.4f} | AP50 {AP50:.4f} | "
+            "AP75 {AP75:.4f}".format(**stats)
+        )
+        return stats

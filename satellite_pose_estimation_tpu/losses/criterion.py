@@ -158,3 +158,31 @@ def set_criterion(
 
     losses["loss_total"] = total
     return total, losses
+
+
+def nf_point_loss(flow, flow_variables, pred_pts, tgt_pts, pred_sigmas):
+    """Normalizing-flow residual-density point loss — the reference's
+    config-gated RLE-style variant (R2/src/zoo/rtdetr/rtdetr_criterion.py:
+    192-218, shipped with nf_loss_test=False):
+
+        sigma = sigmoid(pred_sigmas)
+        bar_mu = (pred - gt) / sigma
+        nf   = log(sigma) - flow.log_prob(bar_mu)
+        logQ = log(sigma / amp) + |gt - pred| / (sqrt(2) * sigma + 1e-9)
+        loss = nf + logQ   (per element)
+
+    ``flow`` is a models.real_nvp.RealNVP module with ``flow_variables``.
+    Returns the per-pair loss tensor; callers reduce / normalise like the
+    other point losses.
+    """
+    import math
+
+    amp = 1.0 / math.sqrt(2.0 * math.pi)
+    sigma = jax.nn.sigmoid(pred_sigmas)
+    bar_mu = (pred_pts - tgt_pts) / sigma
+    log_phi = flow.apply(flow_variables, bar_mu, method=flow.log_prob)
+    nf = jnp.log(sigma) - log_phi[..., None]
+    log_q = jnp.log(sigma / amp) + jnp.abs(tgt_pts - pred_pts) / (
+        math.sqrt(2.0) * sigma + 1e-9
+    )
+    return nf + log_q

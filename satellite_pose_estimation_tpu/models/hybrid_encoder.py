@@ -211,3 +211,68 @@ class HybridEncoder(nn.Module):
             )(jnp.concatenate([down, feat_high], axis=-1), train)
             outs.append(out)
         return outs
+
+
+class HybridEncoderModify(HybridEncoder):
+    """Single-resolution fusion variant (R2 hybrid_encoder_modify.py:18-109):
+    all three pyramid levels are bilinearly resized to the MIDDLE level's
+    resolution before fusion, the AIFI encoder runs on the resized deepest
+    level, and the FPN/PAN blocks fuse without any further up/down sampling
+    (every level shares one spatial size, so outputs are three same-size
+    maps)."""
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        assert len(feats) == len(self.in_channels)
+        proj = []
+        for i, feat in enumerate(feats):
+            x = nn.Conv(self.hidden_dim, (1, 1), use_bias=False,
+                        dtype=self.dtype, name=f"input_proj_{i}_conv")(feat)
+            x = apply_norm("bn", self.hidden_dim, f"input_proj_{i}_norm",
+                           x, train, self.dtype)
+            proj.append(x)
+
+        b, hm, wm, c = proj[1].shape
+        resize = lambda t: jax.image.resize(
+            t, (t.shape[0], hm, wm, t.shape[-1]), method="bilinear"
+        ).astype(self.dtype)
+        p0 = resize(proj[0])
+        p2 = resize(proj[2])
+
+        # AIFI on the resized deepest level
+        src = p2.reshape(b, hm * wm, c)
+        pos = build_2d_sincos_position_embedding(
+            wm, hm, self.hidden_dim, self.pe_temperature
+        )[None].astype(self.dtype)
+        mem = src
+        for l in range(self.num_encoder_layers):
+            mem = EncoderLayer(
+                self.hidden_dim, self.nhead, self.dim_feedforward,
+                self.dropout, self.enc_act, False, self.dtype,
+                name=f"encoder_0_layer_{l}",
+            )(mem, pos, deterministic=not train)
+        p2 = mem.reshape(b, hm, wm, c)
+
+        levels = [p0, proj[1], p2]
+        n = len(levels)
+        inner_outs = [levels[-1]]
+        for idx in range(n - 1, 0, -1):
+            feat_high = ConvNormLayer(
+                self.hidden_dim, 1, 1, act=self.act, dtype=self.dtype,
+                name=f"lateral_convs_{n - 1 - idx}",
+            )(inner_outs[0], train)
+            inner_outs[0] = feat_high
+            fused = CSPRepLayer(
+                self.hidden_dim, 1, self.expansion, self.act, self.deploy,
+                self.dtype, name=f"fpn_blocks_{n - 1 - idx}",
+            )(jnp.concatenate([feat_high, levels[idx - 1]], axis=-1), train)
+            inner_outs.insert(0, fused)
+
+        outs = [inner_outs[0]]
+        for idx in range(n - 1):
+            out = CSPRepLayer(
+                self.hidden_dim, 1, self.expansion, self.act, self.deploy,
+                self.dtype, name=f"pan_blocks_{idx}",
+            )(jnp.concatenate([outs[-1], inner_outs[idx + 1]], axis=-1), train)
+            outs.append(out)
+        return outs

@@ -55,6 +55,10 @@ class RTDETR(nn.Module):
                 dtype=cfg.dtype,
                 name="backbone",
             )
+        elif cfg.backbone == "ghostnetv2":
+            from .ghostnetv2 import GhostNetV2
+
+            backbone = GhostNetV2(dtype=cfg.dtype, name="backbone")
         else:
             backbone = PResNet(
                 depth=cfg.depth,

@@ -312,7 +312,24 @@ class SpeedSolver:
 
     def val(self):
         self._build()
-        return self.evaluate()
+        stats = self.evaluate()
+        # GFLOPs at the reference's measurement point (2, S, S, 3)
+        # (R2/solver/speed_solver.py:255-260).
+        try:
+            from ..utils.flops import count_gflops
+
+            variables = {"params": jax.device_get(self.state.params)}
+            if self.state.batch_stats:
+                variables["batch_stats"] = jax.device_get(
+                    self.state.batch_stats
+                )
+            g = count_gflops(
+                self.model, variables, (2, self.resize, self.resize, 3)
+            )
+            print(f"model GFLOPs @ (2,{self.resize},{self.resize},3): {g:.2f}")
+        except Exception as e:  # cost analysis unsupported on some backends
+            print(f"GFLOPs count unavailable: {e}")
+        return stats
 
 
 TASKS = {
