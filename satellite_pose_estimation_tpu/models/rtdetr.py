@@ -37,6 +37,7 @@ class RTDETRConfig:
     expansion: float = 1.0
     dropout: float = 0.0
     learnt_init_query: bool = False
+    box_dim: int = 2  # 2 = speed landmarker, 4 = COCO detection
     deploy: bool = False
     dtype: Any = jnp.float32
 
@@ -89,6 +90,7 @@ class RTDETR(nn.Module):
             dim_feedforward=cfg.dim_feedforward,
             dropout=cfg.dropout,
             learnt_init_query=cfg.learnt_init_query,
+            box_dim=cfg.box_dim,
             dtype=cfg.dtype,
             name="decoder",
         )(feats, train)

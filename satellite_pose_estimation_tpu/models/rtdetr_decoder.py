@@ -92,14 +92,23 @@ class MSDeformableAttention(nn.Module):
             B, Q, self.num_heads, self.num_levels, self.num_points
         )
 
-        # offset normalizer (w, h) per level (reference flips [h,w]->[w,h])
-        normalizer = jnp.asarray(
-            [[w, h] for (h, w) in spatial_shapes], jnp.float32
-        ).reshape(1, 1, 1, self.num_levels, 1, 2)
-        locations = (
-            reference_points[:, :, None, None, None, :]
-            + offsets / normalizer
-        )
+        if reference_points.shape[-1] == 2:
+            # offset normalizer (w, h) per level (reference flips [h,w]->[w,h])
+            normalizer = jnp.asarray(
+                [[w, h] for (h, w) in spatial_shapes], jnp.float32
+            ).reshape(1, 1, 1, self.num_levels, 1, 2)
+            locations = (
+                reference_points[:, :, None, None, None, :]
+                + offsets / normalizer
+            )
+        else:
+            # 4-D (cxcywh) reference boxes: offsets scale with box size
+            # (R2 rtdetr_decoder.py:170-177).
+            ref = reference_points[:, :, None, None, None, :]
+            locations = (
+                ref[..., :2]
+                + offsets / self.num_points * ref[..., 2:] * 0.5
+            )
 
         out = deformable_attention_core(
             v.astype(self.dtype), list(spatial_shapes), locations, attw
@@ -160,19 +169,25 @@ class RTDETRTransformer(nn.Module):
     dropout: float = 0.0
     activation: str = "relu"
     learnt_init_query: bool = False
+    box_dim: int = 2  # 2 = point queries (speed task), 4 = cxcywh boxes (detection)
     eval_idx: int = -1
     eps: float = 1e-2
     aux_loss: bool = True
     dtype: Any = jnp.float32
 
-    def _anchors(self, spatial_shapes):
+    def _anchors(self, spatial_shapes, grid_size=0.05):
         anchors = []
-        for (h, w) in spatial_shapes:
+        for lvl, (h, w) in enumerate(spatial_shapes):
             gx = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
             gy = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
             gxx, gyy = jnp.meshgrid(gx, gy, indexing="xy")
-            anchors.append(jnp.stack([gxx, gyy], -1).reshape(h * w, 2))
-        anchors = jnp.concatenate(anchors, 0)  # (L, 2)
+            xy = jnp.stack([gxx, gyy], -1).reshape(h * w, 2)
+            if self.box_dim == 4:
+                wh = jnp.full((h * w, 2), grid_size * (2.0 ** lvl))
+                anchors.append(jnp.concatenate([xy, wh], -1))
+            else:
+                anchors.append(xy)
+        anchors = jnp.concatenate(anchors, 0)  # (L, box_dim)
         valid = jnp.all(
             (anchors > self.eps) & (anchors < 1 - self.eps), -1, keepdims=True
         )
@@ -215,7 +230,7 @@ class RTDETRTransformer(nn.Module):
             dtype=cfg_dtype,
             name="enc_score_head",
         )(out_mem)  # (B, L, C+1)
-        enc_coord_delta = MLP(self.hidden_dim, 2, 3, dtype=cfg_dtype,
+        enc_coord_delta = MLP(self.hidden_dim, self.box_dim, 3, dtype=cfg_dtype,
                               name="enc_bbox_head")(out_mem)
         enc_coord_unact = enc_coord_delta + anchors[None]  # (B, L, 2)
 
@@ -258,7 +273,7 @@ class RTDETRTransformer(nn.Module):
             )(output, ref_points_detach, memory, spatial_shapes, query_pos,
               deterministic=not train)
 
-            delta = MLP(self.hidden_dim, 2, 3, dtype=cfg_dtype,
+            delta = MLP(self.hidden_dim, self.box_dim, 3, dtype=cfg_dtype,
                         name=f"dec_bbox_head_{i}")(output)
             inter_ref = jax.nn.sigmoid(delta + inverse_sigmoid(ref_points_detach))
 

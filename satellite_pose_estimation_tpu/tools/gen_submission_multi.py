@@ -24,7 +24,7 @@ import numpy as np
 from ..data.dataset import SpeedSubmissionDataset
 from ..geometry.camera import WORLD_POINTS
 from ..geometry.multi_mean import solve_pose_multi_mean_batch
-from ..ops.image_warp import crop_resize_cubic
+from ..ops.image_warp import crop_resize_cubic_mxu as crop_resize_cubic
 from ..train.solver import SpeedSolver
 from ..utils.submission import SubmissionWriter
 from .main import args_to_config, get_args_parser

@@ -96,7 +96,7 @@ def cmd_dataset(args):
     import cv2
 
     from ..data.dataset import SpeedTrainDataset
-    from ..ops.image_warp import crop_resize_cubic
+    from ..ops.image_warp import crop_resize_cubic_mxu as crop_resize_cubic
     import jax.numpy as jnp
 
     ds = SpeedTrainDataset(

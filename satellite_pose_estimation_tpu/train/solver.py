@@ -332,7 +332,13 @@ class SpeedSolver:
         return stats
 
 
+def _det_solver(*args, **kwargs):
+    from .det_solver import DetSolver
+
+    return DetSolver(*args, **kwargs)
+
+
 TASKS = {
     "landmarker": SpeedSolver,
-    "detection": SpeedSolver,  # COCO detection task routes here for now
+    "detection": _det_solver,
 }

@@ -23,7 +23,7 @@ from ..geometry.solvers import (
     solve_pose_simple,
 )
 from ..losses.criterion import CriterionConfig, set_criterion
-from ..ops.image_warp import crop_resize_cubic
+from ..ops.image_warp import crop_resize_cubic_mxu as crop_resize_cubic
 from .ema import ema_update
 from .state import TrainConfig, TrainState
 
