@@ -211,3 +211,70 @@ def augment_batch(rng, images, clip_bboxes, landmarks,
     return jax.vmap(lambda r, i, b, l: augment_sample(r, i, b, l, cfg))(
         rngs, images, clip_bboxes, landmarks
     )
+
+
+def augment_batch_pallas(rng, images, clip_bboxes, landmarks,
+                         cfg: AugmentConfig = AugmentConfig(),
+                         interpret: bool = False):
+    """Pallas-fused variant of augment_batch: geometric warp per image via
+    the bilinear gather, then the ENTIRE photometric chain (blur/noise/
+    cutout/truncation/normalize) as ONE Pallas kernel pass over the batch
+    (ops/pallas_augment.py). Numerically equivalent augmentation family
+    (RNG streams differ). Returns (images, landmarks_norm)."""
+    import numpy as np
+
+    from ..ops.pallas_augment import fused_photometric_pallas
+
+    B = images.shape[0]
+    k_geo, k_params, k_seed = jax.random.split(rng, 3)
+
+    # Geometric warp (unnormalized output in [0, 255]).
+    geo_rngs = jax.random.split(k_geo, B)
+
+    def warp_one(r, img, bb, lm):
+        M, kp_forward = _sample_affine(r, bb, cfg)
+        out = affine_warp_bilinear(img, M, cfg.out_size, normalize=False)
+        kp = kp_forward(lm) / cfg.out_size
+        return out, kp
+
+    warped, kp_norm = jax.vmap(warp_one)(geo_rngs, images, clip_bboxes,
+                                         landmarks)
+
+    # Per-image photometric parameters.
+    ks = jax.random.split(k_params, 6)
+    S = cfg.out_size
+    scalars = jnp.stack(
+        [
+            jax.random.bernoulli(ks[0], cfg.p_blur, (B,)).astype(jnp.float32),
+            jax.random.uniform(ks[1], (B,), minval=0.0,
+                               maxval=cfg.noise_sigma_max),
+            jax.random.bernoulli(ks[2], cfg.p_noise, (B,)).astype(jnp.float32),
+            jax.random.bernoulli(ks[3], cfg.p_cutout, (B,)).astype(jnp.float32),
+            jax.random.bernoulli(ks[4], cfg.p_trunc, (B,)).astype(jnp.float32),
+            jax.random.uniform(ks[5], (B,)),
+            jax.random.randint(
+                jax.random.fold_in(k_params, 7), (B,), 0,
+                max(int(S * cfg.trunc_ratio), 1)).astype(jnp.float32),
+            jax.random.randint(
+                jax.random.fold_in(k_params, 8), (B,), 0,
+                max(int(S * cfg.trunc_ratio), 1)).astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    holes_xy = jax.random.randint(
+        jax.random.fold_in(k_params, 9), (B, cfg.cutout_holes, 2), 0, S
+    )
+    holes_wh = jax.random.randint(
+        jax.random.fold_in(k_params, 10), (B, cfg.cutout_holes, 2), 1,
+        cfg.cutout_max,
+    )
+    holes = jnp.concatenate([holes_xy, holes_wh], axis=-1)
+
+    seed = jax.random.randint(k_seed, (), 0, 2**31 - 1)
+    noise = None
+    if interpret:
+        noise = jax.random.normal(k_seed, (B, S, S))
+    out = fused_photometric_pallas(
+        warped, scalars, holes, seed, interpret=interpret, noise=noise
+    )
+    return out, kp_norm

@@ -47,7 +47,7 @@ def _photometric_kernel(scalars_ref, holes_ref, img_ref, out_ref,
 
     # --- 3x3 box blur via shifted adds (edge rows/cols replicate the
     # nearest interior average like a SAME conv with zero pad + renorm).
-    do_blur = scalars_ref[b, 0] > 0.5
+    do_blur = (scalars_ref[b, 0] > 0.5).astype(jnp.float32)
     S_minus = S - 1
     up = pltpu.roll(x, 1, 0)
     down = pltpu.roll(x, S_minus, 0)  # roll requires non-negative shifts
@@ -63,11 +63,12 @@ def _photometric_kernel(scalars_ref, holes_ref, img_ref, out_ref,
         (rows > 0) & (rows < S - 1) & (cols > 0) & (cols < S - 1)
     )
     blurred = jnp.where(interior, blur, x)
-    x = jnp.where(do_blur, blurred, x)
+    # scalar-predicated selects don't legalize in Mosaic; use arithmetic
+    x = x + do_blur * (blurred - x)
 
     # --- additive gaussian noise: on-chip PRNG (Box-Muller) on TPU, or a
     # precomputed noise plane when the host provides one (CPU interpret).
-    do_noise = scalars_ref[b, 2] > 0.5
+    do_noise = (scalars_ref[b, 2] > 0.5).astype(jnp.float32)
     sigma = scalars_ref[b, 1]
     if noise_ref is None:
         u_bits = pltpu.prng_random_bits((S, S))
@@ -83,10 +84,10 @@ def _photometric_kernel(scalars_ref, holes_ref, img_ref, out_ref,
         gauss = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
     else:
         gauss = noise_ref[0, 0, :, :]
-    x = jnp.where(do_noise, x + gauss * sigma, x)
+    x = x + do_noise * gauss * sigma
 
     # --- cutout holes
-    do_cut = scalars_ref[b, 3] > 0.5
+    do_cut = (scalars_ref[b, 3] > 0.5).astype(jnp.float32)
     hole_mask = jnp.zeros((S, S), jnp.bool_)
     for hi in range(holes_ref.shape[1]):
         hx = holes_ref[b, hi, 0]
@@ -97,25 +98,28 @@ def _photometric_kernel(scalars_ref, holes_ref, img_ref, out_ref,
             (cols >= hx) & (cols < hx + hw) & (rows >= hy) & (rows < hy + hh)
         )
         hole_mask = hole_mask | inside
-    x = jnp.where(do_cut & hole_mask, 0.0, x)
+    x = x * (1.0 - do_cut * hole_mask.astype(jnp.float32))
 
     # --- edge truncation (img_trunc): top/left (sel<0.25) or bottom/right
     # (sel>0.75) bands zeroed.
-    do_trunc = scalars_ref[b, 4] > 0.5
+    do_trunc = (scalars_ref[b, 4] > 0.5).astype(jnp.float32)
     sel = scalars_ref[b, 5]
     th = scalars_ref[b, 6].astype(jnp.int32)
     tw = scalars_ref[b, 7].astype(jnp.int32)
-    top = (rows < th) | (cols < tw)
-    bottom = (rows >= S - th) | (cols >= S - tw)
-    tmask = jnp.where(sel < 0.25, top, jnp.where(sel > 0.75, bottom, False))
-    x = jnp.where(do_trunc & tmask, 0.0, x)
+    top = ((rows < th) | (cols < tw)).astype(jnp.float32)
+    bottom = ((rows >= S - th) | (cols >= S - tw)).astype(jnp.float32)
+    is_top = (sel < 0.25).astype(jnp.float32)
+    is_bot = (sel > 0.75).astype(jnp.float32)
+    tmask = jnp.clip(is_top * top + is_bot * bottom, 0.0, 1.0)
+    x = x * (1.0 - do_trunc * tmask)
 
     # --- clip + normalize for this channel
     x = jnp.clip(x, 0.0, 255.0)
-    mean = jnp.where(c == 0, IMAGENET_MEAN[0],
-                     jnp.where(c == 1, IMAGENET_MEAN[1], IMAGENET_MEAN[2]))
-    std = jnp.where(c == 0, IMAGENET_STD[0],
-                    jnp.where(c == 1, IMAGENET_STD[1], IMAGENET_STD[2]))
+    c0 = (c == 0).astype(jnp.float32)
+    c1 = (c == 1).astype(jnp.float32)
+    c2 = (c == 2).astype(jnp.float32)
+    mean = c0 * IMAGENET_MEAN[0] + c1 * IMAGENET_MEAN[1] + c2 * IMAGENET_MEAN[2]
+    std = c0 * IMAGENET_STD[0] + c1 * IMAGENET_STD[1] + c2 * IMAGENET_STD[2]
     out_ref[0, 0, :, :] = (x / 255.0 - mean) / std
 
 
