@@ -33,7 +33,7 @@ def main():
     )
     from satellite_pose_estimation_tpu.train.steps import make_eval_step
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "128"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "256"))
     input_size = int(os.environ.get("BENCH_INPUT", "224"))
     pack = int(os.environ.get("BENCH_PACK", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))

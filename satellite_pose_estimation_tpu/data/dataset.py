@@ -141,18 +141,28 @@ class SpeedTrainDataset:
         return sample
 
     def batches(self, batch_size: int, shuffle: Optional[bool] = None,
-                drop_last: bool = True) -> Iterator[dict]:
+                drop_last: bool = True, pad_last: bool = False
+                ) -> Iterator[dict]:
+        """pad_last repeats the final sample to keep the batch shape static
+        (one compiled program); the pad count rides in batch['pad']."""
         shuffle = self.train if shuffle is None else shuffle
         order = np.arange(len(self))
         if shuffle:
             self.rng.shuffle(order)
         for start in range(0, len(order) - (batch_size - 1 if drop_last else 0),
                            batch_size):
-            idxs = order[start:start + batch_size]
+            idxs = list(order[start:start + batch_size])
             if drop_last and len(idxs) < batch_size:
                 break
+            pad = 0
+            if pad_last and len(idxs) < batch_size:
+                pad = batch_size - len(idxs)
+                idxs = idxs + [idxs[-1]] * pad
             samples = [self[int(i)] for i in idxs]
-            yield _collate(samples)
+            batch = _collate(samples)
+            if pad_last:
+                batch["pad"] = pad
+            yield batch
 
 
 class SpeedSubmissionDataset:

@@ -23,12 +23,20 @@ from ..utils.submission import SubmissionWriter
 from .main import args_to_config, get_args_parser
 
 
-def gen_submission(solver, dataset, writer, append_fn, batch_size):
+def gen_submission(solver, dataset, writer, append_fn, batch_size, mesh=None):
+    """Batched submission inference; with a device mesh the batch is sharded
+    over all chips and the SAME jitted program runs data-parallel (the
+    multi-chip gen_submission path — XLA SPMD instead of pmap loops)."""
+    from ..parallel.mesh import shard_batch
+
     model_solver_time = SmoothedValue(fmt="{avg:.4f}")
     for batch in dataset.batches(batch_size):
         pad = batch.pop("pad", 0)
         filenames = batch.pop("filename")
-        device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if mesh is not None:
+            device_batch = shard_batch(batch, mesh)
+        else:
+            device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
         t0 = time.perf_counter()
         results = solver.eval_step(solver.state, device_batch)
         results = jax.device_get(results)
@@ -50,6 +58,14 @@ def main(args):
         solver.resume(args.resume)
     solver._build()
 
+    mesh = None
+    if len(jax.devices()) > 1 and args.batch_size % len(jax.devices()) == 0:
+        from ..parallel.mesh import create_mesh, replicate_tree
+
+        mesh = create_mesh()
+        solver.state = replicate_tree(solver.state, mesh)
+        print(f"data-parallel submission over {len(jax.devices())} devices")
+
     writer = SubmissionWriter()
     real_ds = SpeedSubmissionDataset(
         args.data_root, args.real_ann_file, args.real_img_dir,
@@ -60,9 +76,9 @@ def main(args):
         resize=args.input_size,
     )
     gen_submission(solver, real_ds, writer, writer.append_real_test,
-                   args.batch_size)
+                   args.batch_size, mesh)
     gen_submission(solver, synt_ds, writer, writer.append_test,
-                   args.batch_size)
+                   args.batch_size, mesh)
     writer.export(args.submission_dir)
 
 

@@ -298,14 +298,15 @@ class SpeedSolver:
     def evaluate(self, epoch: int = -1):
         evaluator = SpeedEvaluator()
         for batch in self.val_ds.batches(
-            self.val_batch_size, shuffle=False, drop_last=False
+            self.val_batch_size, shuffle=False, drop_last=False, pad_last=True
         ):
             filenames = batch.pop("filename")
+            pad = batch.pop("pad", 0)
             batch.pop("landmarks_buf", None)
             batch.pop("labels", None)
             device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
             results = self.eval_step(self.state, device_batch)
-            evaluator.update_batch(filenames, jax.device_get(results))
+            evaluator.update_batch(filenames, jax.device_get(results), pad=pad)
         stats_str = evaluator.summarize()
         print(f"Eval epoch {epoch}: {stats_str}")
         return evaluator.scalar_summary(), evaluator
