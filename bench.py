@@ -37,6 +37,7 @@ def main():
     input_size = int(os.environ.get("BENCH_INPUT", "224"))
     pack = int(os.environ.get("BENCH_PACK", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
+    mode = os.environ.get("BENCH_MODE", "eval")  # eval | train
     compute_dtype = jnp.bfloat16
 
     cfg = DETRConfig(
@@ -69,24 +70,57 @@ def main():
         ),
     }
 
-    eval_step = make_eval_step(out_size=input_size, solver="simple")
+    if mode == "train":
+        import jax.random as jrandom
 
-    # Warmup / compile
-    res = eval_step(state, batch)
-    jax.block_until_ready(res)
+        from satellite_pose_estimation_tpu.data.augment import AugmentConfig
+        from satellite_pose_estimation_tpu.losses.criterion import (
+            CriterionConfig,
+        )
+        from satellite_pose_estimation_tpu.train.steps import make_train_step
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
+        rng2 = np.random.RandomState(1)
+        train_batch = {
+            "image": batch["image"],
+            "clip_bbox_buf": batch["clip_bbox_buf"],
+            "landmarks_buf": jnp.asarray(
+                rng2.rand(batch_size, 11, 2) * 200 + 20, jnp.float32
+            ),
+            "labels": jnp.tile(
+                jnp.arange(11, dtype=jnp.int32)[None], (batch_size, 1)
+            ),
+        }
+        step = make_train_step(
+            CriterionConfig(), TrainConfig(),
+            AugmentConfig(out_size=input_size),
+        )
+        state, losses = step(state, train_batch, jrandom.PRNGKey(0))
+        jax.block_until_ready(losses)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, losses = step(state, train_batch, jrandom.PRNGKey(i))
+        jax.block_until_ready(losses)
+        dt = time.perf_counter() - t0
+        imgs_per_sec = batch_size * iters / dt
+        metric = "end-to-end train images/sec/chip (aug->model->match->loss->opt)"
+        baseline = 125.0
+    else:
+        eval_step = make_eval_step(out_size=input_size, solver="simple")
         res = eval_step(state, batch)
-    jax.block_until_ready(res)
-    dt = time.perf_counter() - t0
+        jax.block_until_ready(res)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            res = eval_step(state, batch)
+        jax.block_until_ready(res)
+        dt = time.perf_counter() - t0
+        imgs_per_sec = batch_size * iters / dt
+        metric = "end-to-end eval images/sec/chip (crop->keypoints->PnP)"
+        baseline = 125.0  # reference single-GPU eval throughput
 
-    imgs_per_sec = batch_size * iters / dt
-    baseline = 125.0  # reference single-GPU eval throughput
     print(
         json.dumps(
             {
-                "metric": "end-to-end eval images/sec/chip (crop->keypoints->PnP)",
+                "metric": metric,
                 "value": round(imgs_per_sec, 2),
                 "unit": "images/sec",
                 "vs_baseline": round(imgs_per_sec / baseline, 3),

@@ -38,6 +38,9 @@ class SpeedEvaluator:
             }
             if "sigmas" in results:
                 entry["sigma"] = np.around(get("sigmas")[i], 8).tolist()
+            for key in results:
+                if key.startswith("aux_points_"):
+                    entry[key] = np.around(get(key)[i], 2).tolist()
             if "score" in results:
                 entry["score_tvec"] = float(np.around(get("score_tvec")[i], 8))
                 entry["score_quat"] = float(np.around(get("score_quat")[i], 8))

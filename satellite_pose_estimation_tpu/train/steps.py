@@ -33,22 +33,35 @@ def make_train_step(
     train_cfg: TrainConfig,
     augment_cfg: AugmentConfig = AugmentConfig(),
     axis_name: Optional[str] = None,
+    use_pallas_augment: bool = False,
 ):
     """Build the jitted train step.
 
     Batch dict (device arrays): image (B,P,P,3) uint8, clip_bbox_buf (B,4),
-    landmarks_buf (B,K,2), labels (B,K).
+    landmarks_buf (B,K,2), labels (B,K). ``use_pallas_augment`` routes the
+    photometric chain through the fused Pallas kernel (TPU only).
     """
 
     def train_step(state: TrainState, batch, rng):
         k_aug, k_drop = jax.random.split(rng)
-        images, kp_norm = augment_batch(
-            k_aug,
-            batch["image"],
-            batch["clip_bbox_buf"],
-            batch["landmarks_buf"],
-            augment_cfg,
-        )
+        if use_pallas_augment:
+            from ..data.augment import augment_batch_pallas
+
+            images, kp_norm = augment_batch_pallas(
+                k_aug,
+                batch["image"],
+                batch["clip_bbox_buf"],
+                batch["landmarks_buf"],
+                augment_cfg,
+            )
+        else:
+            images, kp_norm = augment_batch(
+                k_aug,
+                batch["image"],
+                batch["clip_bbox_buf"],
+                batch["landmarks_buf"],
+                augment_cfg,
+            )
         targets = {"labels": batch["labels"], "landmarks": kp_norm}
 
         def _loss(params):
@@ -166,6 +179,13 @@ def make_eval_step(
             "probs": probs,
             "sigmas": sigmas_pix,
         }
+        # Aux decoder layers' denormalized points for the eval log
+        # (R2/solver/speed_engine.py:177-190 collects aux_0..2).
+        for i, aux in enumerate(outputs.get("aux_outputs", [])):
+            if "pred_points" in aux and aux["pred_points"].shape[-1] == 2:
+                result[f"aux_points_{i}"] = (
+                    aux["pred_points"] * wh[:, None, :] + clip[:, None, 0:2]
+                )
         if "quat_gt" in batch:
             scores = speed_score_batch(
                 quat, tvec, batch["quat_gt"], batch["tvec_gt"]
