@@ -11,3 +11,6 @@ from .annotations import (
     load_ground_truth,
 )
 from .dataset import SpeedTrainDataset, SpeedSubmissionDataset, IMAGENET_MEAN, IMAGENET_STD
+from .coco import CocoDetection, CocoEvaluator
+from .cifar10 import CIFAR10
+from .augment import AugmentConfig, augment_batch, augment_batch_pallas

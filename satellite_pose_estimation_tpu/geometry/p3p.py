@@ -22,14 +22,11 @@ from ..ops.precision import highest_precision
 
 
 def _poly_mul(p, q):
-    """Multiply polynomial coefficient arrays (lowest degree first)."""
-    n = len(p) + len(q) - 1
-    out = [0.0] * n
-    res = [jnp.zeros(()) for _ in range(n)]
+    """Multiply polynomial coefficient lists (lowest degree first)."""
+    res = [jnp.zeros(()) for _ in range(len(p) + len(q) - 1)]
     for i, pi in enumerate(p):
         for j, qj in enumerate(q):
             res[i + j] = res[i + j] + pi * qj
-    del out
     return res
 
 
