@@ -41,6 +41,7 @@ class DETRConfig:
     num_queries: int = 20
     num_keypoints: int = 11
     aux_loss: bool = True
+    use_flash_attention: bool = False  # Pallas flash encoder self-attn
     dtype: Any = jnp.float32
 
 
@@ -92,6 +93,7 @@ class DETRKeypointModel(nn.Module):
             dropout=cfg.dropout,
             normalize_before=cfg.pre_norm,
             dtype=dtype,
+            use_flash=cfg.use_flash_attention,
             name="transformer",
         )(src, query_embed, pos, deterministic=not train)
         # hs: (L, B, Q, C)

@@ -4,8 +4,9 @@ the decoder returns the per-layer intermediate stack, and pre/post-norm are
 both supported (R1/models/transformer.py:18-129).
 
 TPU notes: all attention shapes are static (no padding masks — crops are
-fixed-size), sequence lengths are small (<=1024 tokens at 256^2/s8), so
-plain dot-product attention fuses well under XLA; no flash kernel needed.
+fixed-size). The encoder's self-attention optionally runs through the
+Pallas flash kernel (use_flash) — profiling showed the materialized
+(T, T) score tensor is the model's HBM hot spot at batch 256.
 """
 from __future__ import annotations
 
@@ -20,18 +21,44 @@ class _Attention(nn.Module):
     nhead: int
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, q, k, v, deterministic: bool = True):
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.nhead,
-            qkv_features=self.d_model,
-            out_features=self.d_model,
-            dropout_rate=self.dropout,
-            dtype=self.dtype,
-            name="mha",
+        if not self.use_flash:
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.nhead,
+                qkv_features=self.d_model,
+                out_features=self.d_model,
+                dropout_rate=self.dropout,
+                dtype=self.dtype,
+                name="mha",
+            )
+            return attn(q, k, v, deterministic=deterministic)
+
+        # Flash path: same projections as flax MHA (per-head DenseGeneral),
+        # attention itself via the Pallas streaming kernel — no (T, T)
+        # score tensor in HBM. Dropout inside attention is unsupported on
+        # this path (the shipped eval/bench configs use dropout 0).
+        from ..ops.flash_attention import flash_self_attention
+
+        B, T, _ = q.shape
+        head_dim = self.d_model // self.nhead
+        proj = lambda name, x: nn.DenseGeneral(
+            features=(self.nhead, head_dim), dtype=self.dtype,
+            name=f"mha_{name}",
+        )(x)
+        qh = proj("query", q).transpose(0, 2, 1, 3)  # (B, H, T, D)
+        kh = proj("key", k).transpose(0, 2, 1, 3)
+        vh = proj("value", v).transpose(0, 2, 1, 3)
+        out = flash_self_attention(
+            qh, kh, vh, sm_scale=1.0 / (head_dim ** 0.5)
         )
-        return attn(q, k, v, deterministic=deterministic)
+        out = out.transpose(0, 2, 1, 3)  # (B, T, H, D)
+        return nn.DenseGeneral(
+            features=self.d_model, axis=(-2, -1), dtype=self.dtype,
+            name="mha_out",
+        )(out)
 
 
 class EncoderLayer(nn.Module):
@@ -42,6 +69,7 @@ class EncoderLayer(nn.Module):
     activation: str = "relu"
     normalize_before: bool = False
     dtype: Any = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, src, pos, deterministic: bool = True):
@@ -50,7 +78,8 @@ class EncoderLayer(nn.Module):
         def sa(x_qk_src):
             q = k = x_qk_src + pos
             return _Attention(self.d_model, self.nhead, self.dropout,
-                              self.dtype, name="self_attn")(
+                              self.dtype, use_flash=self.use_flash,
+                              name="self_attn")(
                 q, k, x_qk_src, deterministic)
 
         def ffn(x):
@@ -136,6 +165,7 @@ class Transformer(nn.Module):
     activation: str = "relu"
     normalize_before: bool = False
     dtype: Any = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, src, query_embed, pos_embed, deterministic: bool = True):
@@ -149,7 +179,7 @@ class Transformer(nn.Module):
             mem = EncoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
                 self.activation, self.normalize_before, self.dtype,
-                name=f"encoder_layer_{i}",
+                self.use_flash, name=f"encoder_layer_{i}",
             )(mem, pos, deterministic)
         if self.normalize_before:
             mem = nn.LayerNorm(dtype=self.dtype, name="encoder_norm")(mem)

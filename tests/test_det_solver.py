@@ -1,0 +1,65 @@
+"""DetSolver end-to-end on a tiny synthetic COCO dataset."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def make_fake_coco(root, n_images=4, rng=None):
+    from PIL import Image
+
+    rng = rng or np.random.RandomState(0)
+    for split in ("train2017", "val2017"):
+        os.makedirs(os.path.join(root, split), exist_ok=True)
+    os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
+
+    def build(split):
+        images, annotations = [], []
+        aid = 1
+        for i in range(n_images):
+            fn = f"{split}_{i:04d}.jpg"
+            img = rng.randint(0, 255, (120, 160, 3)).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(root, split, fn))
+            images.append({"id": i + 1, "file_name": fn, "width": 160,
+                           "height": 120})
+            for _ in range(2):
+                x, y = rng.randint(0, 100), rng.randint(0, 70)
+                w, h = rng.randint(20, 50), rng.randint(20, 40)
+                annotations.append({
+                    "id": aid, "image_id": i + 1,
+                    "category_id": int(rng.randint(0, 5)),
+                    "bbox": [float(x), float(y), float(w), float(h)],
+                    "iscrowd": 0, "area": float(w * h),
+                })
+                aid += 1
+        with open(os.path.join(
+                root, "annotations", f"instances_{split}.json"), "w") as f:
+            json.dump({"images": images, "annotations": annotations,
+                       "categories": [{"id": c} for c in range(5)]}, f)
+
+    build("train2017")
+    build("val2017")
+    return root
+
+
+def test_det_solver_fit_and_val(tmp_path, rng):
+    from satellite_pose_estimation_tpu.core.yaml_config import YAMLConfig
+    from satellite_pose_estimation_tpu.train.det_solver import DetSolver
+
+    root = make_fake_coco(str(tmp_path / "coco"), rng=rng)
+    cfg = YAMLConfig(cfg={
+        "task": "detection",
+        "num_classes": 5,
+        "epoches": 1,
+        "output_dir": str(tmp_path / "out"),
+        "PResNet": {"depth": 18, "freeze_norm": False},
+        "RTDETRTransformer": {"num_queries": 10, "num_decoder_layers": 2},
+        "optimizer": {"lr": 1e-4},
+        "train_dataloader": {"batch_size": 2,
+                             "dataset": {"resize": 96}},
+        "val_dataloader": {"batch_size": 2, "dataset": {"resize": 96}},
+    })
+    solver = DetSolver(cfg, data_root=root, seed=0, max_targets=8)
+    best = solver.fit(epochs=1)
+    assert "AP" in best and np.isfinite(best["AP"])
