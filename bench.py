@@ -46,6 +46,7 @@ def main():
         dec_layers=4,
         num_queries=20,
         dropout=0.0,
+        use_flash_attention=os.environ.get("BENCH_FLASH", "0") == "1",
         dtype=compute_dtype,
     )
     model = DETRKeypointModel(cfg)
@@ -60,7 +61,8 @@ def main():
     # remote runtime may shortcut repeated executions on identical buffers,
     # which would overstate throughput.
     rng = np.random.RandomState(0)
-    n_pool = 4
+    n_pool = max(4, iters)  # fully distinct batches: repeated (fn, args)
+    # executions can be deduped by the remote runtime, overstating throughput
     pool = []
     for _ in range(n_pool):
         pool.append({

@@ -40,6 +40,19 @@ class FrozenBatchNorm(nn.Module):
         return x * mult + shift
 
 
+def _axis_bound(axis_name: str) -> bool:
+    """True when a mesh axis of this name is bound (inside shard_map/pmap)."""
+    try:
+        import jax
+
+        jax.lax.axis_index(axis_name)
+        return True
+    except NameError:
+        return False
+    except Exception:
+        return False
+
+
 def apply_norm(kind: str, features: int, name: str, x, train: bool,
                dtype=jnp.float32, data_axis: str = "data"):
     """Build-and-apply one norm layer inside an @nn.compact body.
@@ -50,11 +63,18 @@ def apply_norm(kind: str, features: int, name: str, x, train: bool,
     if kind == "frozen_bn":
         return FrozenBatchNorm(features, dtype=dtype, name=name)(x)
     if kind in ("bn", "sync_bn"):
+        # Under jit-SPMD the batch axis is sharded across the mesh and XLA
+        # reduces batch statistics globally, so plain BN IS SyncBatchNorm;
+        # an explicit axis_name is only needed (and only valid) inside
+        # shard_map/pmap where the axis is bound.
+        use_axis = kind == "sync_bn" and data_axis is not None and _axis_bound(
+            data_axis
+        )
         return nn.BatchNorm(
             momentum=0.9,
             epsilon=1e-5,
             dtype=dtype,
-            axis_name=data_axis if kind == "sync_bn" else None,
+            axis_name=data_axis if use_axis else None,
             name=name,
         )(x, use_running_average=not train)
     if kind == "group_bn":

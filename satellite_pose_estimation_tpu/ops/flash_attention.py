@@ -6,6 +6,14 @@ profiled hot spot. The Pallas flash kernel streams K/V blocks through VMEM
 instead. Sequences are padded to a lane multiple; padding is excluded with
 segment ids (pad tokens live in their own segment), which costs O(B*T)
 instead of a materialized O(B*H*T*T) bias.
+
+STATUS: experimental and currently SLOWER end-to-end than plain attention
+at this model's scale (T=784, head_dim 32): measured 835 vs 2256 img/s in
+bench.py — the kernel's small 128-lane blocks over a 7-block grid don't
+amortize, and the pallas_call boundary blocks XLA fusion with the
+surrounding layers. Kept as an option (BENCH_FLASH=1 /
+DETRConfig.use_flash_attention) and as the starting point for a tuned
+round-2 kernel; numerics are verified equivalent (1.2e-3 at T=784).
 """
 from __future__ import annotations
 
