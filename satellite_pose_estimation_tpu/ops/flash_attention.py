@@ -7,13 +7,12 @@ instead. Sequences are padded to a lane multiple; padding is excluded with
 segment ids (pad tokens live in their own segment), which costs O(B*T)
 instead of a materialized O(B*H*T*T) bias.
 
-STATUS: experimental and currently SLOWER end-to-end than plain attention
-at this model's scale (T=784, head_dim 32): measured 835 vs 2256 img/s in
-bench.py — the kernel's small 128-lane blocks over a 7-block grid don't
-amortize, and the pallas_call boundary blocks XLA fusion with the
-surrounding layers. Kept as an option (BENCH_FLASH=1 /
-DETRConfig.use_flash_attention) and as the starting point for a tuned
-round-2 kernel; numerics are verified equivalent (1.2e-3 at T=784).
+STATUS: experimental; with whole-sequence blocks it reaches 2106 img/s
+end-to-end vs 2256 img/s for XLA's fused plain attention at this model's
+scale (T=784, head_dim 32, batch 256) — the pallas_call boundary still
+loses slightly to full-graph fusion. Kept as an option (BENCH_FLASH=1 /
+DETRConfig.use_flash_attention); it should win at larger T or head_dim.
+Numerics verified equivalent (1.2e-3 at T=784).
 """
 from __future__ import annotations
 
@@ -51,7 +50,12 @@ def flash_self_attention(q, k, v, sm_scale: float):
     else:
         segment_ids = None
 
-    block = next(b for b in (512, 256, 128) if Tp % b == 0)
+    # Whole-sequence blocks: at T<=1024 the full (block_q, block_k) score
+    # tile fits VMEM, so one grid step per (batch, head) beats many tiny
+    # 128-lane steps (kernel-launch bound otherwise).
+    block = Tp if Tp <= 1024 else next(
+        b for b in (512, 256, 128) if Tp % b == 0
+    )
     sizes = BlockSizes(
         block_q=block, block_k_major=block, block_k=block, block_b=1,
         block_q_major_dkv=block, block_k_major_dkv=block,

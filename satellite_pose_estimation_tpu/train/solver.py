@@ -261,24 +261,23 @@ class SpeedSolver:
             tb.close()
 
     def train_one_epoch(self, epoch: int, rng):
+        from ..data.prefetch import prefetch_to_device
+
         logger = MetricLogger()
         n_batches = 0
+
+        def host_batches():
+            for b in self.train_ds.batches(self.batch_size):
+                for key in ("filename", "clip_bbox", "quat_gt", "tvec_gt",
+                            "bbox_area", "scale", "offset"):
+                    b.pop(key, None)
+                yield b
+
         for batch in logger.log_every(
-            self.train_ds.batches(self.batch_size),
+            prefetch_to_device(host_batches(), size=2, mesh=self.mesh),
             self.cfg.log_step,
             header=f"Epoch: [{epoch}]",
         ):
-            batch.pop("filename", None)
-            batch.pop("clip_bbox", None)
-            batch.pop("quat_gt", None)
-            batch.pop("tvec_gt", None)
-            batch.pop("bbox_area", None)
-            batch.pop("scale", None)
-            batch.pop("offset", None)
-            if self.mesh is not None:
-                batch = shard_batch(batch, self.mesh)
-            else:
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
             rng, step_rng = jax.random.split(rng)
             self.state, losses = self.train_step(self.state, batch, step_rng)
             n_batches += 1
