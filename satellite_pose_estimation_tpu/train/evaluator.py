@@ -45,10 +45,14 @@ class SpeedEvaluator:
                 entry["score_tvec"] = float(np.around(get("score_tvec")[i], 8))
                 entry["score_quat"] = float(np.around(get("score_quat")[i], 8))
                 entry["score"] = float(np.around(get("score")[i], 8))
-                gt = self.ground_truth.get(fn)
-                if gt is not None:
-                    entry["quat_gt"] = np.asarray(gt["quat"]).tolist()
-                    entry["tvec_gt"] = np.asarray(gt["tvec"]).tolist()
+                if "quat_gt" in results:
+                    entry["quat_gt"] = get("quat_gt")[i].tolist()
+                    entry["tvec_gt"] = get("tvec_gt")[i].tolist()
+                else:
+                    gt = self.ground_truth.get(fn)
+                    if gt is not None:
+                        entry["quat_gt"] = np.asarray(gt["quat"]).tolist()
+                        entry["tvec_gt"] = np.asarray(gt["tvec"]).tolist()
             self.log[fn] = entry
 
     def summarize(self) -> str:

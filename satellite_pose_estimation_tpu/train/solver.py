@@ -305,7 +305,12 @@ class SpeedSolver:
             batch.pop("labels", None)
             device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
             results = self.eval_step(self.state, device_batch)
-            evaluator.update_batch(filenames, jax.device_get(results), pad=pad)
+            results = dict(jax.device_get(results))
+            # carry GT into the per-image log (tvec-abs summary stats)
+            for key in ("quat_gt", "tvec_gt"):
+                if key in batch:
+                    results[key] = np.asarray(batch[key])
+            evaluator.update_batch(filenames, results, pad=pad)
         stats_str = evaluator.summarize()
         print(f"Eval epoch {epoch}: {stats_str}")
         return evaluator.scalar_summary(), evaluator
