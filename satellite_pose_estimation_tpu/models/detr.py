@@ -42,6 +42,7 @@ class DETRConfig:
     num_keypoints: int = 11
     aux_loss: bool = True
     use_flash_attention: bool = False  # Pallas flash encoder self-attn
+    remat: bool = False  # remat encoder layers in training (measured: no win at this scale)
     dtype: Any = jnp.float32
 
 
@@ -94,6 +95,7 @@ class DETRKeypointModel(nn.Module):
             normalize_before=cfg.pre_norm,
             dtype=dtype,
             use_flash=cfg.use_flash_attention,
+            remat=cfg.remat,
             name="transformer",
         )(src, query_embed, pos, deterministic=not train)
         # hs: (L, B, Q, C)

@@ -166,6 +166,8 @@ class Transformer(nn.Module):
     normalize_before: bool = False
     dtype: Any = jnp.float32
     use_flash: bool = False
+    remat: bool = False  # rematerialize encoder layers (frees the stored
+    # (T, T) attention tensors for backward - trades flops for HBM)
 
     @nn.compact
     def __call__(self, src, query_embed, pos_embed, deterministic: bool = True):
@@ -175,8 +177,11 @@ class Transformer(nn.Module):
         query_pos = query_embed[None, :, :].repeat(b, axis=0).astype(self.dtype)
 
         mem = src
+        enc_cls = EncoderLayer
+        if self.remat and not deterministic:
+            enc_cls = nn.remat(EncoderLayer, static_argnums=(2,))
         for i in range(self.num_encoder_layers):
-            mem = EncoderLayer(
+            mem = enc_cls(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
                 self.activation, self.normalize_before, self.dtype,
                 self.use_flash, name=f"encoder_layer_{i}",
