@@ -94,7 +94,9 @@ class SpeedTrainDataset:
         self.resize = resize
         self.train = train
         self.pack_size = pack_size
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self.rng = np.random.RandomState(seed)  # shuffle order only
+        self._epoch = 0
         self.data_infos = load_train_annotations(
             osp.join(data_root, "annos", ann_file),
             osp.join(data_root, "annos", index_file),
@@ -111,7 +113,13 @@ class SpeedTrainDataset:
         bbox = np.asarray(info["bbox_xxyy"], np.float64)
 
         if self.train:
-            clip = generate_clip_bbox_train(bbox, (W, H), self.rng)
+            # Per-(seed, epoch, index) RNG: deterministic, thread-safe under
+            # the parallel loader, and resampled every epoch like the
+            # reference's per-worker RNG streams.
+            mix = (self.seed * 1000003 + self._epoch * 97 + idx) % (2 ** 31)
+            clip = generate_clip_bbox_train(
+                bbox, (W, H), np.random.RandomState(mix)
+            )
         else:
             clip = generate_clip_bbox_val(bbox, (W, H))
 
@@ -146,6 +154,7 @@ class SpeedTrainDataset:
         """pad_last repeats the final sample to keep the batch shape static
         (one compiled program); the pad count rides in batch['pad']."""
         shuffle = self.train if shuffle is None else shuffle
+        self._epoch += 1
         order = np.arange(len(self))
         if shuffle:
             self.rng.shuffle(order)
@@ -158,11 +167,21 @@ class SpeedTrainDataset:
             if pad_last and len(idxs) < batch_size:
                 pad = batch_size - len(idxs)
                 idxs = idxs + [idxs[-1]] * pad
-            samples = [self[int(i)] for i in idxs]
+            samples = self._load_parallel(idxs)
             batch = _collate(samples)
             if pad_last:
                 batch["pad"] = pad
             yield batch
+
+    def _load_parallel(self, idxs, workers: int = 4):
+        """Threaded JPEG decode + crop (the reference's DataLoader
+        num_workers equivalent; PIL decode releases the GIL)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(idxs) <= 1:
+            return [self[int(i)] for i in idxs]
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            return list(pool.map(lambda i: self[int(i)], idxs))
 
 
 class SpeedSubmissionDataset:
