@@ -1,0 +1,96 @@
+"""Import/smoke coverage for CLI tools and small utilities."""
+import importlib
+
+import numpy as np
+import pytest
+
+
+TOOL_MODULES = [
+    "satellite_pose_estimation_tpu.tools.main",
+    "satellite_pose_estimation_tpu.tools.train",
+    "satellite_pose_estimation_tpu.tools.gen_submission_single",
+    "satellite_pose_estimation_tpu.tools.gen_submission_multi",
+    "satellite_pose_estimation_tpu.tools.simple_test_result",
+    "satellite_pose_estimation_tpu.tools.analyze_log",
+    "satellite_pose_estimation_tpu.tools.output_min_scores",
+    "satellite_pose_estimation_tpu.tools.val_p_which_p",
+    "satellite_pose_estimation_tpu.tools.gen_new_trainjson",
+    "satellite_pose_estimation_tpu.tools.visualize",
+    "satellite_pose_estimation_tpu.tools.export",
+    "satellite_pose_estimation_tpu.tools.get_backbone_time",
+    "satellite_pose_estimation_tpu.tools.get_inference_time",
+    "satellite_pose_estimation_tpu.tools.synthetic_selfcheck",
+    "satellite_pose_estimation_tpu.tools.train_cifar",
+]
+
+
+@pytest.mark.parametrize("mod", TOOL_MODULES)
+def test_tool_imports(mod):
+    importlib.import_module(mod)
+
+
+def test_r1_cli_arg_surface():
+    from satellite_pose_estimation_tpu.tools.main import (
+        args_to_config,
+        get_args_parser,
+    )
+
+    parser = get_args_parser()
+    args = parser.parse_args(
+        ["--backbone", "resnet50s8", "--enc_layers", "4", "--dec_layers",
+         "4", "--num_queries", "20", "--input_size", "224", "--repro", "20"]
+    )
+    cfg = args_to_config(args)
+    model = cfg.build_model()
+    assert model.config.backbone == "resnet50s8"
+    assert model.config.enc_layers == 4
+    assert cfg.criterion_config().eos_coef == pytest.approx(0.1)
+
+
+def test_transforms_registry(rng):
+    from satellite_pose_estimation_tpu.data.transforms import Compose
+
+    c = Compose.from_config(
+        [
+            {"type": "RandomHorizontalFlip", "p": 1.0},
+            {"type": "Resize", "size": 64},
+            {"type": "Normalize"},
+        ],
+        rng=rng,
+    )
+    sample = {
+        "image": np.zeros((32, 48, 3), np.uint8),
+        "landmarks": np.asarray([[10.0, 5.0]]),
+    }
+    out = c(sample)
+    assert out["image"].shape == (64, 64, 3)
+    # flip then resize: x = (48-1-10) * 64/48
+    np.testing.assert_allclose(out["landmarks"][0, 0], 37 * 64 / 48)
+
+
+def test_prefetch_to_device(rng):
+    from satellite_pose_estimation_tpu.data.prefetch import prefetch_to_device
+
+    batches = [
+        {"x": rng.rand(4, 8), "filename": ["a"] * 4, "pad": 0}
+        for _ in range(5)
+    ]
+    out = list(prefetch_to_device(iter(batches), size=2))
+    assert len(out) == 5
+    assert out[0]["pad"] == 0 and out[0]["filename"] == ["a"] * 4
+    np.testing.assert_allclose(np.asarray(out[2]["x"]), batches[2]["x"])
+
+
+def test_analyze_log_roundtrip(tmp_path):
+    import json
+
+    from satellite_pose_estimation_tpu.tools.analyze_log import load_log
+
+    path = tmp_path / "log.txt"
+    entries = [
+        {"epoch": 0, "train_loss_total": 5.0, "test_score": 4.1},
+        {"epoch": 1, "train_loss_total": 3.0, "test_score": 2.0},
+    ]
+    path.write_text("\n".join(json.dumps(e) for e in entries) + "\n")
+    loaded = load_log(str(path))
+    assert loaded == entries
