@@ -38,18 +38,29 @@ def main():
     pack = int(os.environ.get("BENCH_PACK", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     mode = os.environ.get("BENCH_MODE", "eval")  # eval | train
+    arch = os.environ.get("BENCH_ARCH", "detr")  # detr (R1) | rtdetr (R2)
     compute_dtype = jnp.bfloat16
 
-    cfg = DETRConfig(
-        backbone="resnet50s8",
-        enc_layers=4,
-        dec_layers=4,
-        num_queries=20,
-        dropout=0.0,
-        use_flash_attention=os.environ.get("BENCH_FLASH", "0") == "1",
-        dtype=compute_dtype,
-    )
-    model = DETRKeypointModel(cfg)
+    if arch == "rtdetr":
+        from satellite_pose_estimation_tpu.models.rtdetr import (
+            RTDETR,
+            RTDETRConfig,
+        )
+
+        input_size = int(os.environ.get("BENCH_INPUT", "256"))
+        model = RTDETR(RTDETRConfig(depth=50, expansion=0.5,
+                                    dtype=compute_dtype))
+    else:
+        cfg = DETRConfig(
+            backbone="resnet50s8",
+            enc_layers=4,
+            dec_layers=4,
+            num_queries=20,
+            dropout=0.0,
+            use_flash_attention=os.environ.get("BENCH_FLASH", "0") == "1",
+            dtype=compute_dtype,
+        )
+        model = DETRKeypointModel(cfg)
     state = create_train_state(
         model,
         jax.random.PRNGKey(0),
@@ -116,7 +127,8 @@ def main():
         metric = "end-to-end train images/sec/chip (aug->model->match->loss->opt)"
         baseline = 125.0
     else:
-        eval_step = make_eval_step(out_size=input_size, solver="simple")
+        solver_kind = "sigma" if arch == "rtdetr" else "simple"
+        eval_step = make_eval_step(out_size=input_size, solver=solver_kind)
         res = eval_step(state, batch)
         jax.block_until_ready(res)
         t0 = time.perf_counter()
@@ -126,7 +138,10 @@ def main():
         jax.block_until_ready(outs)
         dt = time.perf_counter() - t0
         imgs_per_sec = batch_size * iters / dt
-        metric = "end-to-end eval images/sec/chip (crop->keypoints->PnP)"
+        metric = ("end-to-end eval images/sec/chip (crop->keypoints->PnP)"
+                  if arch == "detr" else
+                  "end-to-end eval images/sec/chip (crop->keypoints->"
+                  "sigma-PnP, RT-DETR r50vd)")
         baseline = 125.0  # reference single-GPU eval throughput
 
     print(
