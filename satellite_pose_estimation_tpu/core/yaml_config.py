@@ -11,7 +11,7 @@ this framework directly; a 'DETR' section selects the R1 architecture.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 

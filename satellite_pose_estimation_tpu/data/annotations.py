@@ -14,7 +14,6 @@ assets (R1/annos/*, SURVEY.md section 2.1 #20).
 from __future__ import annotations
 
 import json
-import os.path as osp
 from typing import Dict, List
 
 import numpy as np

@@ -19,7 +19,7 @@ from ..ops.precision import highest_precision
 from .camera import Camera
 from .ransac import ransac_p3p
 from .refine import gauss_newton_pnp
-from .rotations import inverse_rodrigues, rodrigues, rotmat_to_quat
+from .rotations import inverse_rodrigues, rodrigues
 
 
 @partial(jax.jit, static_argnames=("config",))

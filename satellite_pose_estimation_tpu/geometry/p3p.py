@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .epnp import _kabsch
 from ..ops.precision import highest_precision
 
 

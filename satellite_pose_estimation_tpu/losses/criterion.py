@@ -16,7 +16,7 @@ given (the reference all_reduces num_boxes, R1/models/detr_speed.py:235-237).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,8 +12,6 @@ SPEED targets are always 11 per image, so shapes are static by construction
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

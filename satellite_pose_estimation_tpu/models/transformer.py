@@ -10,7 +10,7 @@ Pallas flash kernel (use_flash) — profiling showed the materialized
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

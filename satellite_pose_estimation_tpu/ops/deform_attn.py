@@ -15,7 +15,7 @@ taps contribute zero (padding_mode='zeros').
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

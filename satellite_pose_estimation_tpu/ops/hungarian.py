@@ -16,8 +16,6 @@ query index; the assignment minimises total cost exactly.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

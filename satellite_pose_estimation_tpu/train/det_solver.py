@@ -20,7 +20,7 @@ from ..data.coco import CocoDetection, CocoEvaluator
 from ..losses.det_criterion import DetCriterionConfig, set_criterion_boxes
 from ..models.rtdetr import RTDETR, RTDETRConfig
 from ..ops.image_warp import IMAGENET_MEAN, IMAGENET_STD
-from .state import TrainConfig, create_train_state
+from .state import create_train_state
 
 
 def _prep_image(img: np.ndarray, size: int) -> np.ndarray:

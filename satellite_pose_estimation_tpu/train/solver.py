@@ -16,8 +16,6 @@ from __future__ import annotations
 
 import json
 import os
-import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +25,7 @@ from ..core.yaml_config import YAMLConfig
 from ..data.augment import AugmentConfig
 from ..data.dataset import SpeedTrainDataset
 from ..geometry.solvers import SolverConfig
-from ..parallel.mesh import create_mesh, replicate_tree, shard_batch
+from ..parallel.mesh import create_mesh, replicate_tree
 from ..utils.metric_logger import MetricLogger
 from .evaluator import SpeedEvaluator
 from .state import create_train_state

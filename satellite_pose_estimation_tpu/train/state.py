@@ -9,7 +9,7 @@ generalised to path-predicate groups.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import flax
 import jax

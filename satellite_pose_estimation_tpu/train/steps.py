@@ -7,8 +7,7 @@ Replaces R1/engine.py:15-135 and R2/solver/speed_engine.py:22-202.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ linear weight (out, in) -> (in, out); BN -> FrozenBatchNorm
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 
