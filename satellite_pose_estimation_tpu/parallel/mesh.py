@@ -20,8 +20,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def create_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """Build a 1-D device mesh with exactly ``n_devices`` devices.
+
+    Raises if the backend exposes fewer devices than requested (a silently
+    truncated mesh would "pass" multi-chip checks while testing nothing).
+    Single-process SPMD only: every device must be addressable from this
+    host — multi-host (multi-process) meshes with per-host data sharding are
+    out of scope for the one-host v5e-8 target and rejected loudly.
+    """
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "multi-host meshes are not supported: this framework targets "
+            "single-process SPMD (one host driving all chips in the slice); "
+            f"got process_count={jax.process_count()}"
+        )
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but the "
+                f"{devices[0].platform} backend exposes only {len(devices)}"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
 

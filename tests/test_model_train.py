@@ -88,3 +88,10 @@ def test_multi_device_data_parallel(rng):
     state = replicate_tree(state, mesh)
     state, losses = step(state, batch, jax.random.PRNGKey(3))
     assert np.isfinite(float(losses["loss_total"]))
+
+
+def test_create_mesh_rejects_oversubscription():
+    import pytest
+
+    with pytest.raises(ValueError, match="exposes only"):
+        create_mesh(len(jax.devices()) + 1)
