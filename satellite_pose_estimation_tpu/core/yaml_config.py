@@ -205,6 +205,26 @@ class YAMLConfig:
             betas=tuple(o.get("betas", (0.9, 0.999))),
         )
 
+    def build_tx(self, params, steps_per_epoch: int = 1):
+        """Registry-built optax transform from the full R2 optimizer +
+        lr_scheduler sections (regex param groups, SGD/Adam/AdamW,
+        MultiStep/Cosine/OneCycle/Lambda schedules). Returns None when the
+        YAML has no optimizer section (caller falls back to TrainConfig's
+        default two-group AdamW). Mirrors R2/src/core/yaml_config.py:134-177
+        + R2/optim/optim.py:20-28."""
+        o = self.yaml_cfg.get("optimizer")
+        if not o:
+            return None
+        from ..train.optim import build_optimizer
+
+        return build_optimizer(
+            o,
+            params,
+            steps_per_epoch=steps_per_epoch,
+            sched_cfg=self.yaml_cfg.get("lr_scheduler"),
+            clip_max_norm=float(self.yaml_cfg.get("clip_max_norm", 0.1)),
+        )
+
     # --- dataloaders ----------------------------------------------------
     def dataloader_settings(self, split: str) -> DataloaderSettings:
         key = f"{split}_dataloader"

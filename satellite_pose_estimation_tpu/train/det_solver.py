@@ -68,6 +68,7 @@ class DetSolver:
             self.model, jax.random.PRNGKey(self.seed),
             jnp.zeros((2, self.resize, self.resize, 3), jnp.float32),
             self.train_cfg,
+            tx=lambda params: c.build_tx(params),
         )
 
         def train_step(state, images, labels, boxes, rng):

@@ -91,7 +91,10 @@ class SpeedSolver:
         sample = jnp.zeros(
             (2, self.resize, self.resize, 3), jnp.float32
         )
-        self.state = create_train_state(model, rng, sample, self.train_cfg)
+        self.state = create_train_state(
+            model, rng, sample, self.train_cfg,
+            tx=lambda params: cfg.build_tx(params, steps_per_epoch),
+        )
 
         if self.mesh is None and len(jax.devices()) > 1:
             # Largest device count that divides both batch sizes (and keep

@@ -82,11 +82,19 @@ def make_optimizer(cfg: TrainConfig, params,
 
 
 def create_train_state(model, rng, sample_input, cfg: TrainConfig,
-                       backbone_predicate=None) -> TrainState:
+                       backbone_predicate=None, tx=None) -> TrainState:
+    """Init model variables + optimizer. ``tx`` overrides the default
+    two-group AdamW with a registry-built transform (train/optim.py) when
+    the config carries a full R2 optimizer/lr_scheduler section."""
     variables = model.init(rng, sample_input, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    tx = make_optimizer(cfg, params, backbone_predicate)
+    if tx is None:
+        tx = make_optimizer(cfg, params, backbone_predicate)
+    elif callable(tx) and not isinstance(tx, optax.GradientTransformation):
+        tx = tx(params)  # factory: regex groups need the param names
+        if tx is None:
+            tx = make_optimizer(cfg, params, backbone_predicate)
     opt_state = tx.init(params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
