@@ -203,15 +203,14 @@ class RTDETRTransformer(nn.Module):
         spatial_shapes = []
         for i, feat in enumerate(feats):
             b, h, w, c = feat.shape
-            if c != self.hidden_dim or True:
-                # 1x1 conv + BN projection (identity channels still get it,
-                # matching _build_input_proj_layer)
-                x = nn.Conv(self.hidden_dim, (1, 1), use_bias=False,
-                            dtype=cfg_dtype, name=f"input_proj_{i}_conv")(feat)
-                x = nn.BatchNorm(
-                    momentum=0.9, epsilon=1e-5, dtype=cfg_dtype,
-                    name=f"input_proj_{i}_norm",
-                )(x, use_running_average=not train)
+            # 1x1 conv + BN projection on every level — identity-channel
+            # levels still get it, matching _build_input_proj_layer.
+            x = nn.Conv(self.hidden_dim, (1, 1), use_bias=False,
+                        dtype=cfg_dtype, name=f"input_proj_{i}_conv")(feat)
+            x = nn.BatchNorm(
+                momentum=0.9, epsilon=1e-5, dtype=cfg_dtype,
+                name=f"input_proj_{i}_norm",
+            )(x, use_running_average=not train)
             spatial_shapes.append((h, w))
             proj_feats.append(x.reshape(b, h * w, self.hidden_dim))
         memory = jnp.concatenate(proj_feats, axis=1)  # (B, L, C)

@@ -57,6 +57,18 @@ class SpeedEvaluator:
 
     def summarize(self) -> str:
         items = list(self.log.values())
+        scored = [it for it in items if "score" in it]
+        if not scored:
+            # GT-less split (submission canvas): degrade to a points-only
+            # summary rather than KeyError — the reference never summarizes
+            # GT-less runs, so any stable string here is an extension.
+            n_valid = sum(bool(it.get("valid")) for it in items)
+            self.stats = (
+                f"no ground truth: {len(items)} images, "
+                f"{n_valid} valid poses (points-only summary)"
+            )
+            return self.stats
+        items = scored
         scores = np.asarray([it["score"] for it in items])
         tvec_score = np.asarray([it["score_tvec"] for it in items])
         quat_score = np.asarray([it["score_quat"] for it in items])
@@ -90,12 +102,21 @@ class SpeedEvaluator:
 
     def scalar_summary(self) -> dict:
         items = list(self.log.values())
-        return {
-            "score": float(np.mean([it["score"] for it in items])),
-            "score_tvec": float(np.mean([it["score_tvec"] for it in items])),
-            "score_quat": float(np.mean([it["score_quat"] for it in items])),
-            "num_images": len(items),
-        }
+        scored = [it for it in items if "score" in it]
+        out = {"num_images": len(items)}
+        if scored:
+            out.update(
+                score=float(np.mean([it["score"] for it in scored])),
+                score_tvec=float(
+                    np.mean([it["score_tvec"] for it in scored])
+                ),
+                score_quat=float(
+                    np.mean([it["score_quat"] for it in scored])
+                ),
+            )
+        else:
+            out["num_valid"] = sum(bool(it.get("valid")) for it in items)
+        return out
 
     def dump(self, path: str):
         with open(path, "w") as f:

@@ -21,6 +21,7 @@ TOOL_MODULES = [
     "satellite_pose_estimation_tpu.tools.get_inference_time",
     "satellite_pose_estimation_tpu.tools.synthetic_selfcheck",
     "satellite_pose_estimation_tpu.tools.train_cifar",
+    "satellite_pose_estimation_tpu.tools.plot_ablations",
 ]
 
 
@@ -94,3 +95,49 @@ def test_analyze_log_roundtrip(tmp_path):
     path.write_text("\n".join(json.dumps(e) for e in entries) + "\n")
     loaded = load_log(str(path))
     assert loaded == entries
+
+
+def test_plot_ablations_tool(tmp_path):
+    import json
+
+    from satellite_pose_estimation_tpu.tools import plot_ablations
+
+    logs = []
+    for run in range(2):
+        p = tmp_path / f"run{run}.txt"
+        p.write_text("\n".join(
+            json.dumps({"epoch": e, "test_score": 4.0 / (e + 1) + run * 0.1})
+            for e in range(5)
+        ))
+        logs.append(str(p))
+    out = tmp_path / "plots"
+    plot_ablations.main([
+        "--logs", *logs, "--labels", "ed1", "ed2",
+        "--name", "layer", "--out", str(out),
+    ])
+    plot_ablations.main([
+        "--bar", "0.047", "0.036", "--ticks", "1", "2",
+        "--name", "layer", "--out", str(out),
+    ])
+    names = {f.name for f in out.iterdir()}
+    assert names == {"layer_epoch_score_all.png", "layer_epoch_score_last.png",
+                     "layer_num_bar.png"}
+
+
+def test_evaluator_gtless_degrades_gracefully():
+    from satellite_pose_estimation_tpu.train.evaluator import SpeedEvaluator
+
+    ev = SpeedEvaluator()
+    results = {
+        "points": np.zeros((2, 11, 2)),
+        "probs": np.zeros((2, 20, 12)),
+        "quat_pr": np.tile([1.0, 0, 0, 0], (2, 1)),
+        "tvec_pr": np.tile([0.0, 0, 10.0], (2, 1)),
+        "valid": np.asarray([True, False]),
+    }
+    ev.update_batch(["img001.jpg", "img002.jpg"], results)
+    stats = ev.summarize()
+    assert "no ground truth" in stats and "2 images" in stats
+    scalars = ev.scalar_summary()
+    assert scalars["num_images"] == 2 and scalars["num_valid"] == 1
+    assert "score" not in scalars
