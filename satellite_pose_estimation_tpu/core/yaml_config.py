@@ -215,6 +215,16 @@ class YAMLConfig:
         o = self.yaml_cfg.get("optimizer")
         if not o:
             return None
+        s = self.yaml_cfg.get("lr_scheduler") or {}
+        plain = (
+            o.get("type", "AdamW") == "AdamW"
+            and not o.get("params")
+            and s.get("type", "MultiStepLR") == "MultiStepLR"
+        )
+        if plain:
+            # Simple sections are fully covered by TrainConfig's tuned
+            # two-group AdamW (backbone lr = lr/10) — keep that default.
+            return None
         from ..train.optim import build_optimizer
 
         return build_optimizer(

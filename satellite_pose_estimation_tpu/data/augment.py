@@ -14,7 +14,7 @@ behavioral parity; bitwise parity is meaningless for stochastic augs).
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,11 +23,15 @@ from ..ops.image_warp import (
     IMAGENET_MEAN,
     IMAGENET_STD,
     affine_warp_bilinear,
+    affine_warp_cubic,
 )
 
 
 class AugmentConfig(NamedTuple):
     out_size: int = 256
+    interp: str = "bilinear"  # "cubic" = INTER_CUBIC warp (reference train
+    # interpolation, R1/datasets/speed.py:306-313); bilinear is the faster
+    # default (A/B'd on the synthetic selfcheck)
     p_hflip: float = 0.5
     p_rotate: float = 0.4
     rotate_limit_deg: float = 90.0
@@ -35,8 +39,18 @@ class AugmentConfig(NamedTuple):
     affine_scale_jitter: float = 0.1
     affine_shift_jitter: float = 0.05
     p_blur: float = 0.3
+    # OneOf([MotionBlur .2, MedianBlur .1, Blur .1], p=.2): family gate +
+    # normalized within-group weights (0.5, 0.25, 0.25).
+    p_blur_family: float = 0.2
+    motion_blur_max_ksize: int = 7
     p_noise: float = 0.2
     noise_sigma_max: float = 12.75  # ~ albumentations gauss default var cap
+    p_jpeg: float = 0.1
+    jpeg_quality_min: float = 20.0
+    jpeg_quality_max: float = 99.0
+    p_iso: float = 0.2
+    iso_color_shift: Tuple[float, float] = (0.01, 0.05)
+    iso_intensity: Tuple[float, float] = (0.1, 0.5)
     p_cutout: float = 0.1
     cutout_holes: int = 10
     cutout_max: int = 40
@@ -130,27 +144,65 @@ def _sample_affine(rng, clip_bbox, cfg: AugmentConfig):
 
 
 def _photometric(rng, img, cfg: AugmentConfig):
-    """Blur / gaussian noise / cutout / edge truncation on the (S,S,3) crop
-    in [0, 255] space."""
+    """Full reference corruption family (R1/datasets/speed.py:314-327) on the
+    (S,S,3) crop in [0, 255] space: box blur, OneOf(motion/median/box) blur,
+    gaussian noise, JPEG artifacts, ISO noise, cutout, edge truncation. All
+    branches are computed and gated with jnp.where — one compiled program."""
+    from ..ops.photometric import (
+        box_blur,
+        iso_noise,
+        jpeg_artifacts,
+        median_blur3,
+        motion_blur,
+    )
+
     S = cfg.out_size
-    k = jax.random.split(rng, 10)
+    k = jax.random.split(rng, 16)
 
     # 3x3 box blur (Blur(blur_limit=3) equivalent).
     do_blur = jax.random.bernoulli(k[0], cfg.p_blur)
-    kernel = jnp.ones((3, 3, 1, 1)) / 9.0
-    blurred = jax.lax.conv_general_dilated(
-        img.transpose(2, 0, 1)[:, None, :, :],
-        kernel.transpose(3, 2, 0, 1),
-        (1, 1),
-        "SAME",
-    )[:, 0].transpose(1, 2, 0)
-    img = jnp.where(do_blur, blurred, img)
+    img = jnp.where(do_blur, box_blur(img), img)
+
+    # OneOf([MotionBlur, MedianBlur(3), Blur(3)], p=p_blur_family).
+    if cfg.p_blur_family > 0:
+        do_fam = jax.random.bernoulli(k[10], cfg.p_blur_family)
+        u_fam = jax.random.uniform(k[11])
+        fam = jnp.where(
+            u_fam < 0.5,
+            motion_blur(k[12], img, cfg.motion_blur_max_ksize),
+            jnp.where(u_fam < 0.75, median_blur3(img), box_blur(img)),
+        )
+        img = jnp.where(do_fam, fam, img)
 
     # Additive gaussian noise.
     do_noise = jax.random.bernoulli(k[1], cfg.p_noise)
     sigma = jax.random.uniform(k[2], minval=0.0, maxval=cfg.noise_sigma_max)
     noise = jax.random.normal(k[3], img.shape) * sigma
     img = jnp.where(do_noise, img + noise, img)
+
+    # JPEG compression artifacts (quality uniform in [min, max]).
+    if cfg.p_jpeg > 0:
+        do_jpeg = jax.random.bernoulli(k[13], cfg.p_jpeg)
+        quality = jax.random.uniform(
+            k[14], minval=cfg.jpeg_quality_min, maxval=cfg.jpeg_quality_max
+        )
+        img = jnp.where(
+            do_jpeg, jpeg_artifacts(jnp.clip(img, 0.0, 255.0), quality), img
+        )
+
+    # ISO sensor noise.
+    if cfg.p_iso > 0:
+        do_iso = jax.random.bernoulli(k[15], cfg.p_iso)
+        kc, ki, kn = jax.random.split(jax.random.fold_in(rng, 99), 3)
+        cshift = jax.random.uniform(kc, minval=cfg.iso_color_shift[0],
+                                    maxval=cfg.iso_color_shift[1])
+        inten = jax.random.uniform(ki, minval=cfg.iso_intensity[0],
+                                   maxval=cfg.iso_intensity[1])
+        img = jnp.where(
+            do_iso,
+            iso_noise(kn, jnp.clip(img, 0.0, 255.0), cshift, inten),
+            img,
+        )
 
     # Cutout: fixed number of holes, masked by bernoulli.
     do_cut = jax.random.bernoulli(k[4], cfg.p_cutout)
@@ -196,7 +248,9 @@ def augment_sample(rng, image_buf, clip_bbox, landmarks_buf,
     """
     k_geo, k_photo = jax.random.split(rng)
     M, kp_forward = _sample_affine(k_geo, clip_bbox, cfg)
-    img = affine_warp_bilinear(image_buf, M, cfg.out_size, normalize=False)
+    warp = (affine_warp_cubic if cfg.interp == "cubic"
+            else affine_warp_bilinear)
+    img = warp(image_buf, M, cfg.out_size, normalize=False)
     img = _photometric(k_photo, img, cfg)
     img = (img / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
 

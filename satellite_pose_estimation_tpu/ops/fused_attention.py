@@ -1,0 +1,102 @@
+"""Whole-sequence fused attention kernel (Pallas/Mosaic, TPU).
+
+The DETR encoder's profiled hot spot is the materialized (B, H, T, T) score
+tensor: at T=784, batch 256 each layer moves ~5 GB of scores through HBM and
+runs at <10% MXU utilization (pure bandwidth bound). At this scale the FULL
+(784, 784) f32 score matrix for one (batch, head) cell is only 2.4 MB — it
+fits VMEM outright, so no flash-style streaming/running-max bookkeeping is
+needed (round 1 measured the stock flash kernel slightly LOSING to XLA here
+because of exactly that machinery). This kernel computes
+softmax(q @ k^T) @ v for one (batch, head) per grid step with scores living
+and dying in VMEM: HBM traffic drops from O(B*H*T^2) to O(B*H*T*D).
+
+Numerics: scores and softmax in f32 (matching flax's f32 accumulation),
+output cast back to the input dtype. Differentiable via custom_vjp with an
+XLA recompute backward (train-path attention keeps dropout support through
+the flax path; see models/transformer.py).
+
+Reference parity target: the nn.MultiheadAttention inside
+R1/models/transformer.py:18-129 — same math, TPU-native execution.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref):
+    q = q_ref[0, 0]  # (T, D), pre-scaled by sm_scale
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (T, T) f32, VMEM-resident
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    p = (e / l).astype(v.dtype)
+    o_ref[0, 0] = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _reference_attention(q, k, v, sm_scale):
+    """Plain XLA attention, f32 softmax — the kernel's semantics."""
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * sm_scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+
+
+def _fused_tpu(q, k, v, sm_scale, interpret: bool = False):
+    B, H, T, D = q.shape
+    qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+    spec = pl.BlockSpec((1, 1, T, D), lambda b, h: (b, h, 0, 0))
+    return pl.pallas_call(
+        _attn_kernel,
+        grid=(B, H),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
+        interpret=interpret,
+    )(qs, k, v)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_self_attention(q, k, v, sm_scale: float):
+    """softmax(sm_scale * q @ k^T) @ v over (B, H, T, D) inputs.
+
+    TPU: single-pass Pallas kernel, zero score HBM traffic. Other backends
+    (CPU tests): plain XLA with identical math.
+    """
+    if jax.default_backend() == "tpu":
+        return _fused_tpu(q, k, v, sm_scale)
+    return _reference_attention(q, k, v, sm_scale)
+
+
+def _fwd(q, k, v, sm_scale):
+    return fused_self_attention(q, k, v, sm_scale), (q, k, v)
+
+
+def _bwd(sm_scale, res, g):
+    # Recompute-based backward in plain XLA (training currently routes
+    # attention through flax for dropout support; this keeps the op safely
+    # differentiable wherever it is used).
+    q, k, v = res
+
+    def f(q, k, v):
+        return _reference_attention(q, k, v, sm_scale)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    return vjp(g.astype(q.dtype))
+
+
+fused_self_attention.defvjp(_fwd, _bwd)

@@ -156,6 +156,53 @@ def affine_warp_bilinear(image, matrix, out_size=256, normalize=True):
     return out
 
 
+@partial(jax.jit, static_argnames=("out_size", "normalize"))
+def affine_warp_cubic(image, matrix, out_size=256, normalize=False):
+    """Inverse-affine bicubic warp: out[y, x] = img(M @ [x, y, 1]).
+
+    cv2.warpAffine(INTER_CUBIC, BORDER_CONSTANT=0) semantics: Catmull-Rom
+    a = -0.75 kernel, separable 4x4 taps, outside-image taps read zero.
+    Train-time counterpart of the reference's cubic interpolations
+    (R1/datasets/speed.py:306-313: Rotate/Resize with INTER_CUBIC) — the
+    eval path (crop_resize_cubic) was already cubic-exact; this closes the
+    train-path interpolation gap flagged in round 1.
+    """
+    H, W, _ = image.shape
+    img = image.astype(jnp.float32)
+
+    d = jnp.arange(out_size, dtype=jnp.float32)
+    dx, dy = jnp.meshgrid(d, d, indexing="xy")  # (S, S)
+    sx = matrix[0, 0] * dx + matrix[0, 1] * dy + matrix[0, 2]
+    sy = matrix[1, 0] * dx + matrix[1, 1] * dy + matrix[1, 2]
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = _cubic_weights(sx - x0)  # (S, S, 4)
+    wy = _cubic_weights(sy - y0)
+
+    flat = img.reshape(H * W, 3)
+    out = jnp.zeros((out_size, out_size, 3), jnp.float32)
+    for j in range(4):  # y taps
+        yi = y0 + (j - 1.0)
+        in_y = (yi >= 0) & (yi <= H - 1)
+        yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        row = jnp.zeros((out_size, out_size, 3), jnp.float32)
+        for i in range(4):  # x taps
+            xi = x0 + (i - 1.0)
+            in_x = (xi >= 0) & (xi <= W - 1)
+            xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+            v = flat[(yc * W + xc).reshape(-1), :].reshape(
+                out_size, out_size, 3
+            )
+            v = v * (in_x & in_y)[..., None].astype(jnp.float32)
+            row = row + v * wx[..., i, None]
+        out = out + row * wy[..., j, None]
+
+    if normalize:
+        out = (out / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    return out
+
+
 def _axis_weight_matrix(out_size, c0, c1, extent):
     """Dense (out_size, extent) cubic interpolation matrix for one axis.
 

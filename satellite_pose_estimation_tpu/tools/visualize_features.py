@@ -22,11 +22,11 @@ def encoder_attention_maps(params, tokens, pos, layer: int):
     import jax
     import jax.numpy as jnp
 
-    attn = params["transformer"][f"encoder_layer_{layer}"]["self_attn"]["mha"]
-    q_k = np.asarray(attn["query"]["kernel"])  # (C, H, D)
-    q_b = np.asarray(attn["query"]["bias"])
-    k_k = np.asarray(attn["key"]["kernel"])
-    k_b = np.asarray(attn["key"]["bias"])
+    attn = params["transformer"][f"encoder_layer_{layer}"]["self_attn"]
+    q_k = np.asarray(attn["mha_query"]["kernel"])  # (C, H, D)
+    q_b = np.asarray(attn["mha_query"]["bias"])
+    k_k = np.asarray(attn["mha_key"]["kernel"])
+    k_b = np.asarray(attn["mha_key"]["bias"])
 
     x = np.asarray(tokens + pos, np.float32)
     D = q_k.shape[2]

@@ -3,10 +3,15 @@
 Capability parity with the reference MetricLogger/SmoothedValue
 (R1/utils/misc.py:26-248, R2/src/misc/logger.py): windowed median/avg
 meters, a global average, formatted log lines every print_freq iterations
-with iter/data times and ETA. Cross-replica sync is unnecessary in the jit
-SPMD design — loss scalars arriving at the host are already global (XLA
-reduces them) — so `synchronize_between_processes` is a no-op kept for API
-compatibility.
+with iter/data times and ETA.
+
+Divergence from the reference's L8 contract (documented): the reference
+all_reduces meter state across DDP ranks (R2/src/misc/logger.py:37-48).
+This framework is single-process SPMD — ONE host drives every chip in the
+slice and loss scalars arriving at the host are already globally reduced by
+XLA — so `synchronize_between_processes` is a no-op kept for API
+compatibility. Multi-host (multi-process) runs are rejected loudly at mesh
+creation (parallel/mesh.py:create_mesh).
 """
 from __future__ import annotations
 

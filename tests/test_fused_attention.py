@@ -1,0 +1,69 @@
+"""Fused whole-sequence attention kernel: numerics + gradients + model-level
+equivalence against the plain XLA formulation."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from satellite_pose_estimation_tpu.ops.fused_attention import (
+    _fused_tpu,
+    _reference_attention,
+    fused_self_attention,
+)
+
+
+def _qkv(rng, B=2, H=4, T=96, D=32, dtype=jnp.float32):
+    def r():
+        return jnp.asarray(rng.randn(B, H, T, D), dtype)
+
+    return r(), r(), r()
+
+
+def test_kernel_matches_reference_interpret(rng):
+    q, k, v = _qkv(rng)
+    scale = 1.0 / np.sqrt(32)
+    out_kernel = _fused_tpu(q, k, v, scale, interpret=True)
+    out_ref = _reference_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out_kernel), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_interpret_nonsquare_t(rng):
+    # T=784 is not a lane multiple; check a deliberately awkward T too.
+    q, k, v = _qkv(rng, B=1, H=2, T=49, D=32)
+    scale = 0.25
+    out_kernel = _fused_tpu(q, k, v, scale, interpret=True)
+    out_ref = _reference_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out_kernel), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_custom_vjp_matches_direct_grad(rng):
+    q, k, v = _qkv(rng, B=1, H=2, T=32, D=16)
+    scale = 0.25
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_self_attention(q, k, v, scale) ** 2)
+
+    def loss_direct(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v, scale) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_direct, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_detr_forward_impl_equivalence(rng):
+    """Model outputs must be identical between the fused (CPU reference
+    route) and xla attention cores — same params, dropout 0."""
+    from satellite_pose_estimation_tpu.models.transformer import _Attention
+
+    x = jnp.asarray(rng.randn(2, 50, 64), jnp.float32)
+    fused = _Attention(64, 4, 0.0, jnp.float32, impl="fused")
+    xla = _Attention(64, 4, 0.0, jnp.float32, impl="xla")
+    params = fused.init(jax.random.PRNGKey(0), x, x, x)
+    out_f = fused.apply(params, x, x, x, deterministic=True)
+    out_x = xla.apply(params, x, x, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                               rtol=1e-5, atol=1e-6)

@@ -209,3 +209,24 @@ def test_end_to_end_group_lrs(rtdetr_params):
     for k, v in flat.items():
         lr = 1e-5 if k[0] == "backbone" else 1e-4
         np.testing.assert_allclose(np.asarray(v), -lr, rtol=1e-6)
+
+
+def test_yaml_build_tx_gating(rtdetr_params):
+    from satellite_pose_estimation_tpu.core.yaml_config import YAMLConfig
+
+    plain = YAMLConfig(cfg={"optimizer": {"lr": 1e-4},
+                            "lr_scheduler": {"milestones": [30]}})
+    assert plain.build_tx(rtdetr_params) is None  # TrainConfig default path
+
+    rich = YAMLConfig(cfg={"optimizer": R2_OPTIMIZER,
+                           "lr_scheduler": {"type": "CosineAnnealingLR",
+                                            "T_max": 10}})
+    tx = rich.build_tx(rtdetr_params, steps_per_epoch=5)
+    assert tx is not None
+    state = tx.init(rtdetr_params)
+    ones = jax.tree.map(jnp.ones_like, rtdetr_params)
+    updates, _ = tx.update(ones, state, rtdetr_params)
+    assert np.isfinite(
+        float(jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(b), updates, 0.0))
+    )

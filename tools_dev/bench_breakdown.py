@@ -18,13 +18,21 @@ ITERS = int(os.environ.get("BB_ITERS", "10"))
 STAGES = os.environ.get("BB_STAGES", "").split(",") if os.environ.get("BB_STAGES") else None
 
 
+def _scalarize(out):
+    leaves = jax.tree_util.tree_leaves(out)
+    return sum(jnp.sum(jnp.asarray(l, jnp.float32)) for l in leaves[:1])
+
+
 def timeit(name, fn, pool):
-    # warmup/compile
-    out = fn(pool[0])
-    jax.block_until_ready(out)
+    # warmup/compile (also compiles the scalarize-add chain)
+    acc = _scalarize(fn(pool[0]))
+    acc = acc + _scalarize(fn(pool[1 % len(pool)]))
+    float(acc)  # true host sync (block_until_ready lies over the tunnel)
     t0 = time.perf_counter()
-    outs = [fn(pool[i % len(pool)]) for i in range(ITERS)]
-    jax.block_until_ready(outs)
+    acc = jnp.float32(0.0)
+    for i in range(ITERS):
+        acc = acc + _scalarize(fn(pool[i % len(pool)]))
+    _ = float(acc)
     dt = (time.perf_counter() - t0) / ITERS
     print(f"{name:36s} {dt*1e3:9.2f} ms/iter  {B/dt:9.0f} img/s", flush=True)
     return dt
@@ -85,6 +93,19 @@ def main():
         xs = pool_of((B, 784, 256))
         timeit("MHA core (T784 h8 d32)", lambda x: fm(vm, x), xs)
 
+    # --- fused attention kernel core (Pallas) at flagship shape
+    if want("fusedcore"):
+        from satellite_pose_estimation_tpu.ops.fused_attention import (
+            fused_self_attention)
+        scale = 1.0 / (32 ** 0.5)
+        fc = jax.jit(lambda q, k, v: fused_self_attention(q, k, v, scale))
+        qs = pool_of((B, 8, 784, 32))
+        ks = pool_of((B, 8, 784, 32))
+        vs = pool_of((B, 8, 784, 32))
+        timeit("fused attn core (B,8,784,32)",
+               lambda i: fc(qs[i], ks[i], vs[i]),
+               list(range(4)))
+
     # --- FFN only
     if want("ffn"):
         class FFN(nn.Module):
@@ -110,6 +131,46 @@ def main():
         srcs = pool_of((B, 28, 28, 256))
         timeit("decoder stack (enc0 dec4 q20)", lambda s: ft(vt, s), srcs)
 
+    # --- practical roofline: big square bf16 matmul
+    if want("roofline"):
+        w = jnp.asarray(rng.randn(8192, 8192), dt)
+        fr = jax.jit(lambda x: x @ w)
+        xs = pool_of((8192, 8192))
+        dtm = timeit("roofline (8192^3 bf16 matmul)", fr, xs)
+        print(f"  -> {2*8192**3/dtm/1e12:.1f} TFLOP/s", flush=True)
+
+    # --- dispatch overhead: trivial elementwise op
+    if want("overhead"):
+        fo = jax.jit(lambda x: x + 1.0)
+        xs = pool_of((128, 128))
+        timeit("dispatch overhead (tiny add)", fo, xs)
+
+    # --- attention core variants
+    if want("attnvar"):
+        # f32 scores, bf16 everything, explicit einsum formulation
+        def attn_manual(q, k, v):
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                           preferred_element_type=jnp.float32)
+            p = jax.nn.softmax(s * (1.0 / (32 ** 0.5)), axis=-1)
+            return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                              preferred_element_type=jnp.float32
+                              ).astype(v.dtype)
+        fa = jax.jit(attn_manual)
+        qs = pool_of((B, 8, 784, 32))
+        ks = pool_of((B, 8, 784, 32))
+        vs = pool_of((B, 8, 784, 32))
+        timeit("attn core einsum-xla (B,8,784,32)",
+               lambda i: fa(qs[i], ks[i], vs[i]), list(range(4)))
+
+        # all-bf16 softmax variant
+        def attn_bf16(q, k, v):
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+            p = jax.nn.softmax(s * (1.0 / (32 ** 0.5)), axis=-1)
+            return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        fb = jax.jit(attn_bf16)
+        timeit("attn core bf16-softmax",
+               lambda i: fb(qs[i], ks[i], vs[i]), list(range(4)))
+
     # --- raw matmul ceiling probe: same FLOPs as one FFN pass
     if want("matmul"):
         w1 = jnp.asarray(rng.randn(256, 2048), dt)
@@ -117,6 +178,97 @@ def main():
         fmm = jax.jit(lambda x: jnp.maximum(x @ w1, 0) @ w2)
         xs = pool_of((B * 784, 256))
         timeit("raw matmul pair (BT,256)x(256,2048)", fmm, xs)
+
+    # ================= train-side dissection =================
+    if want("trainstep") or want("gradonly") or want("gradcrit") or \
+            want("augb"):
+        from satellite_pose_estimation_tpu.data.augment import (
+            AugmentConfig, augment_batch)
+        from satellite_pose_estimation_tpu.losses.criterion import (
+            CriterionConfig, set_criterion)
+        from satellite_pose_estimation_tpu.train.state import (
+            TrainConfig, create_train_state)
+        from satellite_pose_estimation_tpu.train.steps import make_train_step
+
+        cfg = DETRConfig(backbone="resnet50s8", enc_layers=4, dec_layers=4,
+                         num_queries=20, dropout=0.0, dtype=dt)
+        model = DETRKeypointModel(cfg)
+        tc = TrainConfig(use_ema=True)
+        state = create_train_state(
+            model, key, jnp.zeros((2, 224, 224, 3)), tc)
+
+        def make_batch(i):
+            r = np.random.RandomState(i)
+            return {
+                "image": jnp.asarray(
+                    r.randint(0, 255, (B, 256, 256, 3)), jnp.uint8),
+                "clip_bbox_buf": jnp.tile(
+                    jnp.float32([8, 8, 248, 248]), (B, 1)),
+                "landmarks_buf": jnp.asarray(
+                    r.rand(B, 11, 2) * 200 + 20, jnp.float32),
+                "labels": jnp.tile(jnp.arange(11, dtype=jnp.int32)[None],
+                                   (B, 1)),
+            }
+        batches = [make_batch(i) for i in range(4)]
+
+        if want("trainstep"):
+            step = make_train_step(CriterionConfig(), tc,
+                                   AugmentConfig(out_size=224))
+            # stateful: time by stepping with rotating batches
+            st = state
+            st, losses = step(st, batches[0], jax.random.PRNGKey(9))
+            float(losses["loss_total"])
+            import time as _t
+            t0 = _t.perf_counter()
+            for i in range(ITERS):
+                st, losses = step(st, batches[i % 4],
+                                  jax.random.PRNGKey(i))
+            float(losses["loss_total"])
+            dtt = (_t.perf_counter() - t0) / ITERS
+            print(f"{'full train step':36s} {dtt*1e3:9.2f} ms/iter "
+                  f"{B/dtt:9.0f} img/s", flush=True)
+
+        if want("augb"):
+            aug = AugmentConfig(out_size=224)
+            fa = jax.jit(lambda r, b: augment_batch(
+                r, b["image"], b["clip_bbox_buf"], b["landmarks_buf"], aug))
+            timeit("augment_batch (full family)",
+                   lambda i: fa(jax.random.PRNGKey(i), batches[i % 4]),
+                   list(range(4)))
+
+        if want("gradonly"):
+            def loss_model(params, images, k):
+                out = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    images, train=True, rngs={"dropout": k},
+                    mutable=["batch_stats"])[0]
+                return (jnp.sum(out["pred_points"].astype(jnp.float32)) +
+                        jnp.sum(out["pred_logits"].astype(jnp.float32)))
+            g = jax.jit(jax.grad(loss_model))
+            imgs = pool_of((B, 224, 224, 3), 4, jnp.float32)
+            timeit("grad(model fwd+bwd only)",
+                   lambda i: g(state.params, imgs[i], jax.random.PRNGKey(0)),
+                   list(range(4)))
+
+        if want("gradcrit"):
+            r = np.random.RandomState(7)
+            kp_norm = jnp.asarray(r.rand(B, 11, 2), jnp.float32)
+            labels = jnp.tile(jnp.arange(11, dtype=jnp.int32)[None], (B, 1))
+            ccfg = CriterionConfig()
+
+            def loss_crit(params, images, k):
+                out = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    images, train=True, rngs={"dropout": k},
+                    mutable=["batch_stats"])[0]
+                total, _ = set_criterion(
+                    out, {"labels": labels, "landmarks": kp_norm}, ccfg)
+                return total
+            g2 = jax.jit(jax.grad(loss_crit))
+            imgs = pool_of((B, 224, 224, 3), 4, jnp.float32)
+            timeit("grad(model+criterion)",
+                   lambda i: g2(state.params, imgs[i], jax.random.PRNGKey(0)),
+                   list(range(4)))
 
     print("done", flush=True)
 
