@@ -259,12 +259,142 @@ def augment_sample(rng, image_buf, clip_bbox, landmarks_buf,
     return img, kp_norm
 
 
+def _apply_subset(rng, imgs, p, fn):
+    """Run ``fn`` on a random fixed-count subset of the batch.
+
+    SPMD-efficient gating: per-sample ``jnp.where(do_op, op(img), img)``
+    still computes ``op`` for EVERY image (static shapes), which made the
+    full corruption family cost ~4 ms/image. Instead exactly
+    ``round(p * B)`` images (uniformly chosen without replacement) receive
+    the op — the same marginal probability per image, only the count is
+    fixed instead of binomial, and the op runs on exactly the expected
+    fraction of the batch. fn: (rng, (n, S, S, 3)) -> (n, S, S, 3).
+    """
+    B = imgs.shape[0]
+    n = int(round(p * B))
+    if n == 0:
+        return imgs
+    k_perm, k_op = jax.random.split(rng)
+    idx = jax.random.permutation(k_perm, B)[:n]
+    sub = jnp.take(imgs, idx, axis=0)
+    return imgs.at[idx].set(fn(k_op, sub))
+
+
+def _photometric_batch(rng, imgs, cfg: AugmentConfig):
+    """Batch-level corruption family on (B, S, S, 3) crops in [0, 255]."""
+    from ..ops.photometric import (
+        box_blur,
+        iso_noise,
+        jpeg_artifacts,
+        median_blur3,
+        motion_blur,
+    )
+
+    B, S = imgs.shape[0], cfg.out_size
+    keys = jax.random.split(rng, 12)
+
+    vb = jax.vmap(box_blur)
+    imgs = _apply_subset(keys[0], imgs, cfg.p_blur, lambda k, x: vb(x))
+
+    # OneOf family: per-reference weights .5/.25/.25 within p_blur_family.
+    imgs = _apply_subset(
+        keys[1], imgs, cfg.p_blur_family * 0.5,
+        lambda k, x: jax.vmap(
+            lambda kk, im: motion_blur(kk, im, cfg.motion_blur_max_ksize)
+        )(jax.random.split(k, x.shape[0]), x),
+    )
+    imgs = _apply_subset(keys[2], imgs, cfg.p_blur_family * 0.25,
+                         lambda k, x: jax.vmap(median_blur3)(x))
+    imgs = _apply_subset(keys[3], imgs, cfg.p_blur_family * 0.25,
+                         lambda k, x: vb(x))
+
+    def add_noise(k, x):
+        k1, k2 = jax.random.split(k)
+        sigma = jax.random.uniform(
+            k1, (x.shape[0], 1, 1, 1), minval=0.0,
+            maxval=cfg.noise_sigma_max)
+        return x + jax.random.normal(k2, x.shape) * sigma
+
+    imgs = _apply_subset(keys[4], imgs, cfg.p_noise, add_noise)
+
+    def jpeg(k, x):
+        q = jax.random.uniform(
+            k, (x.shape[0],), minval=cfg.jpeg_quality_min,
+            maxval=cfg.jpeg_quality_max)
+        return jax.vmap(jpeg_artifacts)(jnp.clip(x, 0.0, 255.0), q)
+
+    imgs = _apply_subset(keys[5], imgs, cfg.p_jpeg, jpeg)
+
+    def iso(k, x):
+        n = x.shape[0]
+        kc, ki, kn = jax.random.split(k, 3)
+        cs = jax.random.uniform(kc, (n,), minval=cfg.iso_color_shift[0],
+                                maxval=cfg.iso_color_shift[1])
+        it = jax.random.uniform(ki, (n,), minval=cfg.iso_intensity[0],
+                                maxval=cfg.iso_intensity[1])
+        return jax.vmap(iso_noise)(jax.random.split(kn, n),
+                                   jnp.clip(x, 0.0, 255.0), cs, it)
+
+    imgs = _apply_subset(keys[6], imgs, cfg.p_iso, iso)
+
+    def cutout(k, x):
+        n = x.shape[0]
+        k1, k2 = jax.random.split(k)
+        holes_xy = jax.random.randint(k1, (n, cfg.cutout_holes, 2), 0, S)
+        holes_wh = jax.random.randint(k2, (n, cfg.cutout_holes, 2), 1,
+                                      cfg.cutout_max)
+        x0 = holes_xy[:, :, 0][..., None, None]  # (n, holes, 1, 1)
+        y0 = holes_xy[:, :, 1][..., None, None]
+        w = holes_wh[:, :, 0][..., None, None]
+        h = holes_wh[:, :, 1][..., None, None]
+        xx = jnp.arange(S)[None, None, None, :]  # -> (n, holes, 1, S)
+        yy = jnp.arange(S)[None, None, :, None]  # -> (n, holes, S, 1)
+        hit = (xx >= x0) & (xx < x0 + w) & (yy >= y0) & (yy < y0 + h)
+        mask = jnp.any(hit, axis=1)  # (n, S, S)
+        return jnp.where(mask[..., None], 0.0, x)
+
+    imgs = _apply_subset(keys[7], imgs, cfg.p_cutout, cutout)
+
+    def trunc(k, x):
+        n = x.shape[0]
+        k1, k2, k3 = jax.random.split(k, 3)
+        hi = max(int(S * cfg.trunc_ratio), 1)
+        th = jax.random.randint(k1, (n, 1, 1), 0, hi)
+        tw = jax.random.randint(k2, (n, 1, 1), 0, hi)
+        u = jax.random.uniform(k3, (n, 1, 1))
+        xx = jnp.arange(S)[None, None, :]
+        yy = jnp.arange(S)[None, :, None]
+        top = (yy < th) | (xx < tw)
+        bottom = (yy >= S - th) | (xx >= S - tw)
+        mask = jnp.where(u < 0.25, top, jnp.where(u > 0.75, bottom, False))
+        return jnp.where(mask[..., None], 0.0, x)
+
+    imgs = _apply_subset(keys[8], imgs, cfg.p_trunc, trunc)
+    return jnp.clip(imgs, 0.0, 255.0)
+
+
 def augment_batch(rng, images, clip_bboxes, landmarks,
                   cfg: AugmentConfig = AugmentConfig()):
-    rngs = jax.random.split(rng, images.shape[0])
-    return jax.vmap(lambda r, i, b, l: augment_sample(r, i, b, l, cfg))(
-        rngs, images, clip_bboxes, landmarks
-    )
+    """Batch augmentation: per-sample geometric warp (one resample) +
+    batch-level photometric family on fixed-count subsets (see
+    _apply_subset for why this beats per-sample where-gating ~8x)."""
+    k_geo, k_photo = jax.random.split(rng)
+    B = images.shape[0]
+    geo_rngs = jax.random.split(k_geo, B)
+    warp = (affine_warp_cubic if cfg.interp == "cubic"
+            else affine_warp_bilinear)
+
+    def warp_one(r, img, bb, lm):
+        M, kp_forward = _sample_affine(r, bb, cfg)
+        out = warp(img, M, cfg.out_size, normalize=False)
+        kp = kp_forward(lm) / cfg.out_size
+        return out, kp
+
+    warped, kp_norm = jax.vmap(warp_one)(geo_rngs, images, clip_bboxes,
+                                         landmarks)
+    out = _photometric_batch(k_photo, warped, cfg)
+    out = (out / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    return out, kp_norm
 
 
 def augment_batch_pallas(rng, images, clip_bboxes, landmarks,

@@ -42,6 +42,7 @@ class DETRConfig:
     num_keypoints: int = 11
     aux_loss: bool = True
     use_flash_attention: bool = False  # Pallas flash encoder self-attn
+    quantize_int8: bool = False  # int8 backbone convs + encoder FFN (eval)
     remat: bool = False  # remat encoder layers in training (measured: no win at this scale)
     dtype: Any = jnp.float32
 
@@ -56,13 +57,14 @@ class DETRKeypointModel(nn.Module):
         dtype = cfg.dtype
 
         if cfg.backbone == "resnet50s8":
-            feats = Backbone8s(norm=cfg.bn, dtype=dtype, name="backbone")(
+            feats = Backbone8s(norm=cfg.bn, dtype=dtype,
+                               quant=cfg.quantize_int8, name="backbone")(
                 images, train)
             num_channels = 512
         else:
             feats = ResNet(
                 arch=cfg.backbone, taps=(3,), norm=cfg.bn, dtype=dtype,
-                name="backbone",
+                quant=cfg.quantize_int8, name="backbone",
             )(images, train)
             num_channels = ResNet.tap_channels(cfg.backbone, 3)
         src = feats[-1]
@@ -95,6 +97,7 @@ class DETRKeypointModel(nn.Module):
             normalize_before=cfg.pre_norm,
             dtype=dtype,
             use_flash=cfg.use_flash_attention,
+            quant=cfg.quantize_int8,
             remat=cfg.remat,
             name="transformer",
         )(src, query_embed, pos, deterministic=not train)

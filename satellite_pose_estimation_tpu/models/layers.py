@@ -111,3 +111,68 @@ def get_activation(name: str) -> Callable:
         "silu": nn.silu,
         "swish": nn.silu,
     }[name]
+
+
+class QConv(nn.Module):
+    """Drop-in nn.Conv replacement running on the int8 MXU path
+    (ops/quantize.py): identical parameter contract (kernel HWIO +
+    optional bias, lecun_normal init), weights and activations dynamically
+    quantized inside the jit program. Eval-path deployment option — the
+    TPU-native analogue of the reference's TensorRT int8 deployment.
+    """
+
+    features: int
+    kernel_size: tuple
+    strides: Any = (1, 1)
+    padding: Any = "SAME"
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.quantize import int8_conv
+
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features),
+        )
+        strides = self.strides
+        if isinstance(strides, int):
+            strides = (strides, strides)
+        padding = self.padding
+        if isinstance(padding, int):
+            padding = ((padding, padding), (padding, padding))
+        y = int8_conv(x, kernel, strides, padding, out_dtype=self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class QDense(nn.Module):
+    """Drop-in nn.Dense replacement on the int8 MXU path (same parameter
+    contract: kernel (in, out) + bias)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.quantize import int8_matmul
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+        )
+        lead = x.shape[:-1]
+        y = int8_matmul(x.reshape(-1, x.shape[-1]), kernel,
+                        out_dtype=self.dtype)
+        y = y.reshape(*lead, self.features)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import apply_norm
+from .layers import QConv, apply_norm
 
 
 class BasicBlock(nn.Module):
@@ -27,19 +27,21 @@ class BasicBlock(nn.Module):
     downsample: bool = False
     norm: str = "frozen_bn"
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        nn_Conv = QConv if self.quant else nn.Conv
         identity = x
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+        out = nn_Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                       padding=1, use_bias=False, dtype=self.dtype, name="conv1")(x)
         out = apply_norm(self.norm, self.planes, "bn1", out, train, self.dtype)
         out = nn.relu(out)
-        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+        out = nn_Conv(self.planes, (3, 3), padding=1, use_bias=False,
                       dtype=self.dtype, name="conv2")(out)
         out = apply_norm(self.norm, self.planes, "bn2", out, train, self.dtype)
         if self.downsample:
-            identity = nn.Conv(self.planes, (1, 1),
+            identity = nn_Conv(self.planes, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, dtype=self.dtype,
                                name="downsample_conv")(x)
@@ -56,24 +58,26 @@ class Bottleneck(nn.Module):
     norm: str = "frozen_bn"
     dtype: Any = jnp.float32
     expansion: int = 4
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        nn_Conv = QConv if self.quant else nn.Conv
         identity = x
         wide = self.planes * self.expansion
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+        out = nn_Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
                       name="conv1")(x)
         out = apply_norm(self.norm, self.planes, "bn1", out, train, self.dtype)
         out = nn.relu(out)
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+        out = nn_Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                       padding=1, use_bias=False, dtype=self.dtype, name="conv2")(out)
         out = apply_norm(self.norm, self.planes, "bn2", out, train, self.dtype)
         out = nn.relu(out)
-        out = nn.Conv(wide, (1, 1), use_bias=False, dtype=self.dtype,
+        out = nn_Conv(wide, (1, 1), use_bias=False, dtype=self.dtype,
                       name="conv3")(out)
         out = apply_norm(self.norm, wide, "bn3", out, train, self.dtype)
         if self.downsample:
-            identity = nn.Conv(wide, (1, 1),
+            identity = nn_Conv(wide, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, dtype=self.dtype,
                                name="downsample_conv")(x)
@@ -101,11 +105,13 @@ class ResNet(nn.Module):
     taps: Sequence[int] = (3,)
     norm: str = "frozen_bn"
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        nn_Conv = QConv if self.quant else nn.Conv
         block_cls, layout, _ = _ARCHS[self.arch]
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+        x = nn_Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
         x = apply_norm(self.norm, 64, "bn1", x, train, self.dtype)
         x = nn.relu(x)
@@ -123,6 +129,7 @@ class ResNet(nn.Module):
                     downsample=(b == 0),
                     norm=self.norm,
                     dtype=self.dtype,
+                    quant=self.quant,
                     name=f"layer{stage + 1}_{b}",
                 )(x, train)
             outputs[stage + 1] = x
@@ -143,21 +150,23 @@ class Backbone8s(nn.Module):
     norm: str = "frozen_bn"
     dtype: Any = jnp.float32
     num_channels: int = 512
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        nn_Conv = QConv if self.quant else nn.Conv
         xs8, xs16 = ResNet(
             arch="resnet50", taps=(2, 3), norm=self.norm, dtype=self.dtype,
-            name="body",
+            quant=self.quant, name="body",
         )(x, train)
         b, h, w, c = xs16.shape
         up = jax.image.resize(
             xs16, (b, h * 2, w * 2, c), method="bilinear"
         ).astype(self.dtype)
-        l8 = nn.Conv(256, (1, 1), use_bias=False, dtype=self.dtype,
+        l8 = nn_Conv(256, (1, 1), use_bias=False, dtype=self.dtype,
                      name="s8_latern")(xs8)
-        l16 = nn.Conv(256, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+        l16 = nn_Conv(256, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
                       name="s16_latern")(up)
-        out = nn.Conv(512, (3, 3), padding=1, dtype=self.dtype,
+        out = nn_Conv(512, (3, 3), padding=1, dtype=self.dtype,
                       name="output_conv")(jnp.concatenate([l8, l16], axis=-1))
         return [out]

@@ -86,9 +86,13 @@ class EncoderLayer(nn.Module):
     normalize_before: bool = False
     dtype: Any = jnp.float32
     use_flash: bool = False
+    quant: bool = False  # int8 FFN (eval deployment option)
 
     @nn.compact
     def __call__(self, src, pos, deterministic: bool = True):
+        from .layers import QDense
+
+        Dense = QDense if self.quant else nn.Dense
         act = {"relu": nn.relu, "gelu": nn.gelu}[self.activation]
 
         def sa(x_qk_src):
@@ -100,10 +104,10 @@ class EncoderLayer(nn.Module):
                 q, k, x_qk_src, deterministic)
 
         def ffn(x):
-            x = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
+            x = Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
             x = act(x)
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-            return nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(x)
+            return Dense(self.d_model, dtype=self.dtype, name="linear2")(x)
 
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
@@ -185,6 +189,7 @@ class Transformer(nn.Module):
     normalize_before: bool = False
     dtype: Any = jnp.float32
     use_flash: bool = False
+    quant: bool = False
     remat: bool = False  # rematerialize encoder layers (frees the stored
     # (T, T) attention tensors for backward - trades flops for HBM)
 
@@ -203,7 +208,7 @@ class Transformer(nn.Module):
             mem = enc_cls(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
                 self.activation, self.normalize_before, self.dtype,
-                self.use_flash, name=f"encoder_layer_{i}",
+                self.use_flash, self.quant, name=f"encoder_layer_{i}",
             )(mem, pos, deterministic)
         if self.normalize_before:
             mem = nn.LayerNorm(dtype=self.dtype, name="encoder_norm")(mem)

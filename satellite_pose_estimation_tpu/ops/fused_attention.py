@@ -29,19 +29,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref):
-    q = q_ref[0, 0]  # (T, D), pre-scaled by sm_scale
+    q = q_ref[0, 0]  # (T, D), pre-scaled by sm_scale * log2(e)
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (T, T) f32, VMEM-resident
+    )  # (T, T) f32, VMEM-resident; already in log2 domain
     m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
+    e = jnp.exp2(s - m)  # exp2: scale folded into q upstream
     l = jnp.sum(e, axis=-1, keepdims=True)
-    p = (e / l).astype(v.dtype)
-    o_ref[0, 0] = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    # Normalize on the (T, D) output, not the (T, T) matrix: one fewer
+    # full-score-matrix VPU pass per head.
+    o = jax.lax.dot_general(
+        e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = (o / l).astype(o_ref.dtype)
 
 
 def _reference_attention(q, k, v, sm_scale):
@@ -56,9 +59,12 @@ def _reference_attention(q, k, v, sm_scale):
     ).astype(q.dtype)
 
 
+LOG2_E = 1.4426950408889634
+
+
 def _fused_tpu(q, k, v, sm_scale, interpret: bool = False):
     B, H, T, D = q.shape
-    qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+    qs = (q.astype(jnp.float32) * (sm_scale * LOG2_E)).astype(q.dtype)
     spec = pl.BlockSpec((1, 1, T, D), lambda b, h: (b, h, 0, 0))
     return pl.pallas_call(
         _attn_kernel,

@@ -174,16 +174,31 @@ def _hls_to_rgb(h, l, s):
     return jnp.stack([r + m, g + m, b + m], axis=-1)
 
 
-def iso_noise(rng, img, color_shift=0.05, intensity=0.5):
+def iso_noise(rng, img, color_shift=0.05, intensity=0.5,
+              exact_poisson: bool = False):
     """Camera-sensor (ISO) noise, albumentations formulation: Poisson noise
     on HLS luminance (lambda = std(L)*intensity*255, applied as
     (n/255)*(1-L)) + gaussian hue shift (sigma = color_shift*360*intensity).
-    img: (S, S, 3) RGB [0,255] float."""
+    img: (S, S, 3) RGB [0,255] float.
+
+    By default the Poisson draw uses the rounded-normal approximation
+    N(lam, lam) — the exact rejection sampler (jax.random.poisson) costs an
+    order of magnitude more VPU time and lam is ~10-50 here, where the
+    approximation is statistically indistinguishable for augmentation.
+    """
     k1, k2 = jax.random.split(rng)
     h, l, s = _rgb_to_hls(img / 255.0)
     stddev = jnp.std(l)
     lam = jnp.maximum(stddev * intensity * 255.0, 1e-6)
-    lum_noise = jax.random.poisson(k1, lam, shape=l.shape).astype(jnp.float32)
+    if exact_poisson:
+        lum_noise = jax.random.poisson(k1, lam, shape=l.shape).astype(
+            jnp.float32
+        )
+    else:
+        lum_noise = jnp.maximum(
+            jnp.round(lam + jnp.sqrt(lam) * jax.random.normal(k1, l.shape)),
+            0.0,
+        )
     color_noise = jax.random.normal(k2, h.shape) * (
         color_shift * 360.0 * intensity
     )

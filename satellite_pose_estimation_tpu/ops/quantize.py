@@ -1,0 +1,69 @@
+"""Dynamic int8 quantized matmul/conv for the eval path.
+
+The v5e MXU runs int8 at 2x the bf16 rate; the flagship eval forward is
+conv/matmul-bound outside attention, so a post-training dynamic-quantization
+path is the TPU-native analogue of the reference's TensorRT deployment story
+(R2 export_onnx -> TensorRT int8). No calibration pass is needed:
+
+* weights — symmetric per-output-channel int8, quantized inside the jit
+  program from the SAME parameter tree the bf16 path uses (one cheap pass
+  over weight bytes; any trained checkpoint works unchanged);
+* activations — symmetric per-tensor dynamic int8 (scale = max|x|/127
+  computed on device per batch).
+
+Accuracy is guarded by tests/test_quantize.py (op-level error bounds and
+model-level keypoint drift) and the synthetic-selfcheck A/B.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _act_quantize(x):
+    """Per-tensor symmetric dynamic quantization. Returns (int8, scale)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def _weight_quantize(w, out_axis):
+    """Per-output-channel symmetric quantization of a float kernel."""
+    w = w.astype(jnp.float32)
+    red = tuple(i for i in range(w.ndim) if i != out_axis)
+    amax = jnp.max(jnp.abs(w), axis=red, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale.reshape(w.shape[out_axis])
+
+
+def int8_matmul(x, kernel, out_dtype=None):
+    """x (..., K) @ kernel (K, N) via the int8 MXU path.
+
+    Both operands are dynamically quantized; the int32 accumulator is
+    rescaled back to float. Error vs the f32 matmul is bounded by the
+    per-tensor activation step (~max|x|/127 per element).
+    """
+    out_dtype = out_dtype or x.dtype
+    xq, xs = _act_quantize(x)
+    wq, ws = _weight_quantize(kernel, out_axis=1)
+    y = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (y.astype(jnp.float32) * (xs * ws)).astype(out_dtype)
+
+
+def int8_conv(x, kernel, strides=(1, 1), padding="SAME", out_dtype=None):
+    """NHWC x (B,H,W,Cin), HWIO kernel -> int8 convolution with float
+    rescale. Falls back through XLA's integer conv lowering."""
+    out_dtype = out_dtype or x.dtype
+    xq, xs = _act_quantize(x)
+    wq, ws = _weight_quantize(kernel, out_axis=3)
+    y = jax.lax.conv_general_dilated(
+        xq, wq, strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return (y.astype(jnp.float32) * (xs * ws)).astype(out_dtype)

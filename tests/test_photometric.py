@@ -158,3 +158,46 @@ def test_augment_sample_full_family_runs():
     _, kp_off = augment_sample(jax.random.PRNGKey(3), jnp.asarray(buf), bbox,
                                lms, cfg_off)
     np.testing.assert_allclose(np.asarray(kp), np.asarray(kp_off), atol=1e-5)
+
+
+def test_apply_subset_marginal_probability():
+    from satellite_pose_estimation_tpu.data.augment import _apply_subset
+
+    B, trials = 16, 40
+    hits = np.zeros(B)
+    imgs = jnp.zeros((B, 4, 4, 3))
+    for t in range(trials):
+        out = _apply_subset(jax.random.PRNGKey(t), imgs, 0.25,
+                            lambda k, x: x + 1.0)
+        hits += np.asarray(out[:, 0, 0, 0])
+    # exactly round(0.25*16)=4 per trial, uniform across images
+    assert hits.sum() == trials * 4
+    p_hat = hits / trials
+    assert np.all(p_hat > 0.1) and np.all(p_hat < 0.45)
+
+
+def test_augment_batch_full_family_finite(rng):
+    from satellite_pose_estimation_tpu.data.augment import (
+        AugmentConfig,
+        augment_batch,
+    )
+
+    B = 8
+    bufs = jnp.asarray(rng.randint(0, 255, (B, 96, 96, 3)), jnp.uint8)
+    bboxes = jnp.tile(jnp.float32([8, 8, 88, 88]), (B, 1))
+    lms = jnp.asarray(rng.rand(B, 11, 2) * 70 + 10, jnp.float32)
+    cfg = AugmentConfig(out_size=64, p_blur=0.5, p_blur_family=0.5,
+                        p_noise=0.5, p_jpeg=0.5, p_iso=0.5, p_cutout=0.5,
+                        p_trunc=0.5)
+    imgs, kp = augment_batch(jax.random.PRNGKey(0), bufs, bboxes, lms, cfg)
+    assert imgs.shape == (B, 64, 64, 3)
+    assert np.isfinite(np.asarray(imgs)).all()
+    assert np.isfinite(np.asarray(kp)).all()
+
+    # photometric family must not move keypoints
+    cfg_off = AugmentConfig(out_size=64, p_blur=0, p_blur_family=0,
+                            p_noise=0, p_jpeg=0, p_iso=0, p_cutout=0,
+                            p_trunc=0)
+    _, kp_off = augment_batch(jax.random.PRNGKey(0), bufs, bboxes, lms,
+                              cfg_off)
+    np.testing.assert_allclose(np.asarray(kp), np.asarray(kp_off), atol=1e-5)

@@ -1,0 +1,92 @@
+"""Int8 dynamic-quantization ops: error bounds vs f32 reference."""
+import jax.numpy as jnp
+import numpy as np
+
+from satellite_pose_estimation_tpu.ops.quantize import (
+    int8_conv,
+    int8_matmul,
+)
+
+
+def test_int8_matmul_error_bound(rng):
+    x = rng.randn(64, 256).astype(np.float32)
+    w = (rng.randn(256, 128) * 0.05).astype(np.float32)
+    ref = x @ w
+    out = np.asarray(int8_matmul(jnp.asarray(x), jnp.asarray(w)))
+    # error budget: per-element quant steps accumulated over K=256
+    rel = np.abs(out - ref) / (np.abs(ref).mean() + 1e-6)
+    assert np.median(rel) < 0.02
+    assert np.percentile(rel, 99) < 0.15
+
+
+def test_int8_matmul_exact_on_grid(rng):
+    # inputs already on the int8 grid survive the round-trip exactly
+    x = rng.randint(-127, 128, (8, 16)).astype(np.float32)
+    x[0, 0] = 127.0  # pin the activation scale to exactly 1
+    w = rng.randint(-127, 128, (16, 4)).astype(np.float32)
+    w[0, :] = 127.0  # pin every output channel's weight scale to 1
+    out = np.asarray(int8_matmul(jnp.asarray(x), jnp.asarray(w)))
+    np.testing.assert_allclose(out, x @ w, rtol=1e-6)
+
+
+def test_int8_conv_error_bound(rng):
+    x = rng.randn(2, 16, 16, 32).astype(np.float32)
+    w = (rng.randn(3, 3, 32, 64) * 0.1).astype(np.float32)
+    import jax
+
+    ref = np.asarray(jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ))
+    out = np.asarray(int8_conv(jnp.asarray(x), jnp.asarray(w)))
+    rel = np.abs(out - ref) / (np.abs(ref).mean() + 1e-6)
+    assert np.median(rel) < 0.03
+    assert np.percentile(rel, 99) < 0.2
+
+
+def test_quantized_detr_matches_bf16_params_and_outputs(rng):
+    """The int8 path must (a) share the exact parameter tree with the float
+    path (checkpoint interop) and (b) produce nearby outputs."""
+    import dataclasses
+
+    import jax
+
+    from satellite_pose_estimation_tpu.models.detr import (
+        DETRConfig,
+        DETRKeypointModel,
+    )
+
+    cfg = DETRConfig(backbone="resnet18", hidden_dim=32, nheads=4,
+                     enc_layers=2, dec_layers=2, dim_feedforward=64,
+                     num_queries=16, dropout=0.0)
+    cfg_q = dataclasses.replace(cfg, quantize_int8=True)
+    model = DETRKeypointModel(cfg)
+    model_q = DETRKeypointModel(cfg_q)
+
+    x = jnp.asarray(rng.randn(2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    variables_q = model_q.init(jax.random.PRNGKey(0), x, train=False)
+
+    paths = set(map(tuple, _leaf_paths(variables["params"])))
+    paths_q = set(map(tuple, _leaf_paths(variables_q["params"])))
+    assert paths == paths_q
+
+    out = model.apply(variables, x, train=False)
+    out_q = model_q.apply(variables, x, train=False)
+    # int8 dynamic quantization: small relative drift on the heads
+    d_pts = np.abs(np.asarray(out_q["pred_points"]) -
+                   np.asarray(out["pred_points"]))
+    assert np.median(d_pts) < 0.05, np.median(d_pts)
+    p = np.asarray(jnp.argmax(out["pred_logits"], -1))
+    p_q = np.asarray(jnp.argmax(out_q["pred_logits"], -1))
+    assert (p == p_q).mean() > 0.8
+
+
+def _leaf_paths(tree, prefix=()):
+    out = []
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out += _leaf_paths(v, prefix + (k,))
+    else:
+        out.append(prefix)
+    return out

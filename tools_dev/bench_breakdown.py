@@ -131,6 +131,46 @@ def main():
         srcs = pool_of((B, 28, 28, 256))
         timeit("decoder stack (enc0 dec4 q20)", lambda s: ft(vt, s), srcs)
 
+    # --- int8 MXU probes
+    if want("int8probe"):
+        a8 = jnp.asarray(rng.randint(-127, 127, (8192, 8192)), jnp.int8)
+        w8 = jnp.asarray(rng.randint(-127, 127, (8192, 8192)), jnp.int8)
+        fi = jax.jit(lambda x: jax.lax.dot_general(
+            x, w8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32))
+        pool8 = [jnp.asarray(rng.randint(-127, 127, (8192, 8192)), jnp.int8)
+                 for _ in range(4)]
+        dtm = timeit("int8 matmul 8192^3", fi, pool8)
+        print(f"  -> {2*8192**3/dtm/1e12:.1f} TOP/s", flush=True)
+        # int8 conv support probe (3x3, NHWC)
+        try:
+            x8 = jnp.asarray(rng.randint(-127, 127, (B, 28, 28, 512)),
+                             jnp.int8)
+            k8 = jnp.asarray(rng.randint(-127, 127, (3, 3, 512, 512)),
+                             jnp.int8)
+            fc8 = jax.jit(lambda x: jax.lax.conv_general_dilated(
+                x, k8, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32))
+            pool_c = [jnp.asarray(
+                rng.randint(-127, 127, (B, 28, 28, 512)), jnp.int8)
+                for _ in range(4)]
+            dtc = timeit("int8 conv3x3 28x28x512", fc8, pool_c)
+            fl = 2 * B * 28 * 28 * 9 * 512 * 512
+            print(f"  -> {fl/dtc/1e12:.1f} TOP/s", flush=True)
+        except Exception as e:
+            print(f"int8 conv UNSUPPORTED: {type(e).__name__}: {e}",
+                  flush=True)
+        # bf16 conv same shape for comparison
+        xb = pool_of((B, 28, 28, 512))
+        kb = jnp.asarray(rng.randn(3, 3, 512, 512), dt)
+        fcb = jax.jit(lambda x: jax.lax.conv_general_dilated(
+            x, kb, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")))
+        dtb = timeit("bf16 conv3x3 28x28x512", fcb, xb)
+        fl = 2 * B * 28 * 28 * 9 * 512 * 512
+        print(f"  -> {fl/dtb/1e12:.1f} TFLOP/s", flush=True)
+
     # --- practical roofline: big square bf16 matmul
     if want("roofline"):
         w = jnp.asarray(rng.randn(8192, 8192), dt)
@@ -214,8 +254,11 @@ def main():
         if want("trainstep"):
             step = make_train_step(CriterionConfig(), tc,
                                    AugmentConfig(out_size=224))
-            # stateful: time by stepping with rotating batches
-            st = state
+            # stateful: time by stepping with rotating batches.
+            # donate_argnums invalidates the input state — give the loop its
+            # own copy so later stages can still read `state`.
+            st = jax.tree_util.tree_map(
+                lambda x: jnp.copy(x) if hasattr(x, "dtype") else x, state)
             st, losses = step(st, batches[0], jax.random.PRNGKey(9))
             float(losses["loss_total"])
             import time as _t
