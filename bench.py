@@ -58,6 +58,7 @@ def main():
             num_queries=20,
             dropout=0.0,
             use_flash_attention=os.environ.get("BENCH_FLASH", "0") == "1",
+            quantize_int8=os.environ.get("BENCH_INT8", "0") == "1",
             dtype=compute_dtype,
         )
         model = DETRKeypointModel(cfg)

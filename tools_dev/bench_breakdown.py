@@ -220,8 +220,8 @@ def main():
         timeit("raw matmul pair (BT,256)x(256,2048)", fmm, xs)
 
     # ================= train-side dissection =================
-    if want("trainstep") or want("gradonly") or want("gradcrit") or \
-            want("augb"):
+    if any(want(s) for s in ("trainstep", "gradonly", "gradcrit", "augb",
+                             "warponly", "photonly")):
         from satellite_pose_estimation_tpu.data.augment import (
             AugmentConfig, augment_batch)
         from satellite_pose_estimation_tpu.losses.criterion import (
@@ -270,6 +270,36 @@ def main():
             dtt = (_t.perf_counter() - t0) / ITERS
             print(f"{'full train step':36s} {dtt*1e3:9.2f} ms/iter "
                   f"{B/dtt:9.0f} img/s", flush=True)
+
+        if want("warponly"):
+            from satellite_pose_estimation_tpu.data.augment import (
+                _sample_affine)
+            from satellite_pose_estimation_tpu.ops.image_warp import (
+                affine_warp_bilinear)
+            aug = AugmentConfig(out_size=224)
+
+            def warp_batch(r, b):
+                def one(rr, img, bb):
+                    M, _ = _sample_affine(rr, bb, aug)
+                    return affine_warp_bilinear(img, M, 224, False)
+                return jax.vmap(one)(
+                    jax.random.split(r, B), b["image"], b["clip_bbox_buf"])
+            fw = jax.jit(warp_batch)
+            timeit("warp only (bilinear gather)",
+                   lambda i: fw(jax.random.PRNGKey(i), batches[i % 4]),
+                   list(range(4)))
+
+        if want("photonly"):
+            from satellite_pose_estimation_tpu.data.augment import (
+                _photometric_batch)
+            aug = AugmentConfig(out_size=224)
+            imgs224 = [jnp.asarray(
+                np.random.RandomState(i).rand(B, 224, 224, 3) * 255,
+                jnp.float32) for i in range(4)]
+            fp = jax.jit(lambda r, x: _photometric_batch(r, x, aug))
+            timeit("photometric_batch only",
+                   lambda i: fp(jax.random.PRNGKey(i), imgs224[i]),
+                   list(range(4)))
 
         if want("augb"):
             aug = AugmentConfig(out_size=224)
