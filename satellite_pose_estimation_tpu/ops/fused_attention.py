@@ -89,13 +89,57 @@ def _fwd(q, k, v, sm_scale):
     return fused_self_attention(q, k, v, sm_scale), (q, k, v)
 
 
-def _bwd(sm_scale, res, g):
-    # Recompute-based backward in plain XLA. Scores/softmax recompute in the
-    # INPUT dtype: an f32-materialized (B,H,T,T) tensor costs 3x in HBM
-    # traffic at this scale (measured), and the primal was bf16-accumulated
-    # on the MXU anyway.
-    q, k, v = res
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref):
+    """Whole-sequence attention backward for one (batch, head):
+    recompute s/p in VMEM (flash-style — nothing quadratic is saved to HBM),
+    then dv = p^T g, ds = p * (g v^T - rowsum(p * g v^T)), dq = ds k,
+    dk = ds^T q. q arrives pre-scaled, so dq leaves pre-scaled too and the
+    wrapper applies sm_scale once."""
+    q = q_ref[0, 0]  # (T, D), pre-scaled
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    g = g_ref[0, 0]
+    mm = lambda a, b, dims: jax.lax.dot_general(
+        a, b, (dims, ((), ())), preferred_element_type=jnp.float32
+    )
+    s = mm(q, k, ((1,), (1,)))  # (T, T) f32
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / l  # f32 (T, T), VMEM only
+    pb = p.astype(v.dtype)
+    dv_ref[0, 0] = mm(pb, g, ((0,), (0,))).astype(dv_ref.dtype)  # p^T g
+    dp = mm(g, v, ((1,), (1,)))  # (T, T) f32
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    dsb = ds.astype(q.dtype)
+    dq_ref[0, 0] = mm(dsb, k, ((1,), (0,))).astype(dq_ref.dtype)
+    dk_ref[0, 0] = mm(dsb, q, ((0,), (0,))).astype(dk_ref.dtype)
 
+
+def _bwd_tpu(q, k, v, g, sm_scale, interpret: bool = False):
+    B, H, T, D = q.shape
+    qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+    spec = pl.BlockSpec((1, 1, T, D), lambda b, h: (b, h, 0, 0))
+    shp = jax.ShapeDtypeStruct((B, H, T, D), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        _attn_bwd_kernel,
+        grid=(B, H),
+        in_specs=[spec] * 4,
+        out_specs=[spec] * 3,
+        out_shape=[shp, shp, shp],
+        interpret=interpret,
+    )(qs, k, v, g.astype(q.dtype))
+    dq = (dq.astype(jnp.float32) * sm_scale).astype(q.dtype)
+    return dq, dk, dv
+
+
+def _bwd(sm_scale, res, g):
+    q, k, v = res
+    if jax.default_backend() == "tpu":
+        return _bwd_tpu(q, k, v, g, sm_scale)
+
+    # CPU/other backends: recompute in plain XLA, input dtype (an
+    # f32-materialized (B,H,T,T) tensor costs 3x in HBM traffic).
     def f(q, k, v):
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * jnp.asarray(
             sm_scale, q.dtype

@@ -78,6 +78,38 @@ def ensemble_solve(all_preds, writer_fn):
         writer_fn(f, np.asarray(quat[i]).tolist(), np.asarray(tvec[i]).tolist())
 
 
+def gen_prediction_parallel(model, variable_trees, dataset, batch_size,
+                            out_size, mesh):
+    """All checkpoints at once: one-model-per-chip sharded ensemble forward
+    (parallel/ensemble.py). Returns {filename: [{points, logits} x models]}."""
+    from ..parallel.ensemble import ensemble_apply, stack_variable_trees
+
+    stacked = stack_variable_trees(variable_trees)
+    preds = defaultdict(list)
+    for batch in dataset.batches(batch_size):
+        pad = batch.pop("pad", 0)
+        filenames = batch.pop("filename")
+        db = {k: jnp.asarray(v) for k, v in batch.items()}
+        images = jax.vmap(
+            lambda img, bb: crop_resize_cubic(img, bb, out_size, True)
+        )(db["image"], db["clip_bbox_buf"])
+        outputs = ensemble_apply(model, stacked, images, mesh=mesh,
+                                 train=False)
+        probs = jax.nn.softmax(outputs["pred_logits"], -1)  # (M, B, Q, C)
+        clip = db["clip_bbox"]
+        wh = clip[:, 2:4] - clip[:, 0:2]
+        pts_pix = (outputs["pred_points"] * wh[None, :, None, :]
+                   + clip[None, :, None, 0:2])
+        probs, pts_pix = jax.device_get((probs, pts_pix))
+        for i in range(len(filenames) - pad):
+            for m in range(pts_pix.shape[0]):
+                preds[filenames[i]].append({
+                    "points": np.asarray(pts_pix[m, i]),
+                    "logits": np.asarray(probs[m, i]),
+                })
+    return preds
+
+
 def main(args):
     cfg = args_to_config(args)
     ts = datetime.now().strftime("%Y%m%d-%H%M")
@@ -93,18 +125,43 @@ def main(args):
 
     all_real = defaultdict(list)
     all_synt = defaultdict(list)
-    for ckpt in args.checkpoints:
-        solver = SpeedSolver(cfg, data_root=args.data_root, seed=args.seed)
-        solver.resume(ckpt)
-        solver._build()
-        for f, p in gen_prediction(
-            solver, real_ds, args.batch_size, args.input_size
-        ).items():
-            all_real[f].append(p)
-        for f, p in gen_prediction(
-            solver, synt_ds, args.batch_size, args.input_size
-        ).items():
-            all_synt[f].append(p)
+    if args.parallel_ensemble:
+        # one-model-per-chip: load every checkpoint, shard over the mesh
+        from ..parallel.mesh import create_mesh
+
+        trees = []
+        model = None
+        for ckpt in args.checkpoints:
+            solver = SpeedSolver(cfg, data_root=args.data_root,
+                                 seed=args.seed)
+            solver.resume(ckpt)
+            solver._build()
+            model = solver.model
+            variables = {"params": solver.state.params}
+            if solver.state.batch_stats:
+                variables["batch_stats"] = solver.state.batch_stats
+            trees.append(jax.tree_util.tree_map(jnp.asarray, variables))
+        n_dev = len(jax.devices())
+        mesh = create_mesh(n_dev) if (
+            n_dev > 1 and len(trees) % n_dev == 0) else None
+        all_real = gen_prediction_parallel(
+            model, trees, real_ds, args.batch_size, args.input_size, mesh)
+        all_synt = gen_prediction_parallel(
+            model, trees, synt_ds, args.batch_size, args.input_size, mesh)
+    else:
+        for ckpt in args.checkpoints:
+            solver = SpeedSolver(cfg, data_root=args.data_root,
+                                 seed=args.seed)
+            solver.resume(ckpt)
+            solver._build()
+            for f, p in gen_prediction(
+                solver, real_ds, args.batch_size, args.input_size
+            ).items():
+                all_real[f].append(p)
+            for f, p in gen_prediction(
+                solver, synt_ds, args.batch_size, args.input_size
+            ).items():
+                all_synt[f].append(p)
 
     for name, preds in (("real", all_real), ("synt", all_synt)):
         dump = {
@@ -133,4 +190,8 @@ if __name__ == "__main__":
     parser.add_argument("--synt_ann_file", default="wz_synt_test.json")
     parser.add_argument("--synt_img_dir", default="images/test")
     parser.add_argument("--submission_dir", default="./submission")
+    parser.add_argument(
+        "--parallel_ensemble", action="store_true",
+        help="run all checkpoints as one sharded program "
+             "(one model per chip when count divides the mesh)")
     main(parser.parse_args())

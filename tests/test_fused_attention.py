@@ -67,3 +67,24 @@ def test_detr_forward_impl_equivalence(rng):
     out_x = xla.apply(params, x, x, x, deterministic=True)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_backward_kernel_matches_xla_grads(rng):
+    from satellite_pose_estimation_tpu.ops.fused_attention import _bwd_tpu
+
+    q, k, v = _qkv(rng, B=2, H=3, T=64, D=32)
+    scale = 1.0 / np.sqrt(32)
+
+    def loss(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v, scale) ** 2)
+
+    out = _reference_attention(q, k, v, scale)
+    g = 2.0 * out  # dL/dout for the squared loss
+    dq, dk, dv = _bwd_tpu(q, k, v, g, scale, interpret=True)
+    rq, rk, rv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv),
+                               rtol=1e-4, atol=1e-5)
