@@ -51,6 +51,10 @@ class _Attention(nn.Module):
 
         needs_dropout = self.dropout > 0.0 and not deterministic
         impl = self.impl if not needs_dropout else "xla"
+        if impl == "fused" and q.shape[1] < 256:
+            # Tiny sequences (decoder queries, AIFI levels): per-(b,h)
+            # kernel-launch overhead beats any score-traffic savings.
+            impl = "xla"
         if impl == "fused":
             from ..ops.fused_attention import fused_self_attention
 
