@@ -141,3 +141,26 @@ def test_evaluator_gtless_degrades_gracefully():
     scalars = ev.scalar_summary()
     assert scalars["num_images"] == 2 and scalars["num_valid"] == 1
     assert "score" not in scalars
+
+
+def test_export_stablehlo_roundtrip(tmp_path):
+    import yaml
+
+    from satellite_pose_estimation_tpu.tools.export import export
+
+    cfg = {
+        "model": "RTDETR",
+        "num_classes": 11,
+        "PResNet": {"depth": 18, "freeze_norm": False},
+        "HybridEncoder": {"hidden_dim": 32, "nhead": 4,
+                          "dim_feedforward": 64, "expansion": 0.5},
+        "RTDETRTransformer": {"num_queries": 8, "num_decoder_layers": 2},
+    }
+    cfg_path = tmp_path / "tiny.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out = tmp_path / "export"
+    export(str(cfg_path), None, str(out), batch=1, input_size=64,
+           check=True)
+    hlo = (out / "model.stablehlo.mlir").read_text()
+    assert "stablehlo" in hlo and len(hlo) > 10000
+    assert (out / "params").exists()
