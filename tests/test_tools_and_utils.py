@@ -164,3 +164,57 @@ def test_export_stablehlo_roundtrip(tmp_path):
     hlo = (out / "model.stablehlo.mlir").read_text()
     assert "stablehlo" in hlo and len(hlo) > 10000
     assert (out / "params").exists()
+
+
+def test_val_p_which_p_sweep(tmp_path):
+    import cv2
+    import json as _json
+
+    from satellite_pose_estimation_tpu.geometry.camera import (
+        Camera,
+        WORLD_POINTS,
+    )
+    from satellite_pose_estimation_tpu.tools import val_p_which_p
+
+    rng = np.random.RandomState(0)
+    log = {}
+    for i in range(6):
+        rvec = rng.randn(3)
+        rvec = rvec / np.linalg.norm(rvec) * rng.uniform(0, np.pi)
+        tvec = np.array([rng.uniform(-1, 1), rng.uniform(-1, 1),
+                         rng.uniform(6, 20)])
+        img, _ = cv2.projectPoints(WORLD_POINTS.astype(np.float64), rvec,
+                                   tvec, Camera.K, np.zeros(5))
+        kp = img.reshape(-1, 2) + rng.randn(11, 2) * 0.5
+        # 12-query log: 11 confident one-hot keypoints + 1 background
+        logits = np.full((12, 12), 0.01)
+        pts = np.zeros((12, 2))
+        for q in range(11):
+            logits[q, q] = 50.0
+            pts[q] = kp[q]
+        logits[11, 11] = 50.0
+        R_gt, _ = cv2.Rodrigues(rvec)
+        tr = np.trace(R_gt)
+        q0 = np.sqrt(max(1 + tr, 1e-9)) / 2
+        quat_gt = [q0, (R_gt[2, 1] - R_gt[1, 2]) / (4 * q0),
+                   (R_gt[0, 2] - R_gt[2, 0]) / (4 * q0),
+                   (R_gt[1, 0] - R_gt[0, 1]) / (4 * q0)]
+        log[f"img{i:03d}.jpg"] = {
+            "points": pts.tolist(),
+            "logits": (np.exp(logits) /
+                       np.exp(logits).sum(-1, keepdims=True)).tolist(),
+            "sigma": np.full((12, 2), 0.25).tolist(),
+            "quat_gt": quat_gt,
+            "tvec_gt": tvec.tolist(),
+        }
+    p = tmp_path / "eval_log.json"
+    p.write_text(_json.dumps(log))
+
+    for mode in ("random", "topn"):
+        args = type("A", (), {"eval_log": str(p), "repro": 25,
+                              "mode": mode, "seed": 0})
+        results = val_p_which_p.main(args)
+        # plenty of clean points: every N >= 4 must solve well
+        assert all(v < 0.2 for v in results.values()), (mode, results)
+        # more points should not be dramatically worse
+        assert results[11] <= results[4] + 0.05
