@@ -12,14 +12,27 @@ import numpy as np
 
 
 def bench_backbone(name, module, x, iters):
+    """Distinct inputs per iteration + a scalar host fetch as the sync —
+    repeated identical dispatches and bare block_until_ready both overstate
+    throughput on the remote-TPU tunnel (PERF.md methodology)."""
     variables = module.init(jax.random.PRNGKey(0), x, train=False)
     fwd = jax.jit(lambda v, x_: module.apply(v, x_, train=False))
-    out = fwd(variables, x)
-    jax.block_until_ready(out)
+    rng = np.random.RandomState(1)
+    pool = [x] + [
+        jnp.asarray(rng.rand(*x.shape), x.dtype) for _ in range(3)
+    ]
+
+    def scalarize(out):
+        return jnp.sum(
+            jnp.asarray(jax.tree_util.tree_leaves(out)[0], jnp.float32)
+        )
+
+    float(scalarize(fwd(variables, pool[0])))  # compile + true sync
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(variables, x)
-    jax.block_until_ready(out)
+    acc = jnp.float32(0.0)
+    for i in range(iters):
+        acc = acc + scalarize(fwd(variables, pool[i % len(pool)]))
+    float(acc)
     dt = (time.perf_counter() - t0) / iters
     print(f"{name}: {dt * 1000:.2f} ms/batch "
           f"({x.shape[0] / dt:.0f} img/s)")

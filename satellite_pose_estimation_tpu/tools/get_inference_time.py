@@ -33,30 +33,52 @@ def main(args):
         TrainConfig(),
     )
     rng = np.random.RandomState(0)
-    imgs = jnp.asarray(rng.randint(0, 255, (B, 256, 256, 3)), jnp.uint8)
+    # DISTINCT inputs per iteration + a scalar host fetch as the sync: on
+    # the remote-TPU tunnel, repeating identical (fn, args) pairs and
+    # trusting block_until_ready both overstate throughput (see PERF.md).
+    n_pool = 4
+    img_pool = [
+        jnp.asarray(rng.randint(0, 255, (B, 256, 256, 3)), jnp.uint8)
+        for _ in range(n_pool)
+    ]
     bbs = jnp.tile(jnp.float32([8, 8, 248, 248]), (B, 1))
 
     warp = jax.jit(jax.vmap(lambda i, b: crop_resize_cubic(i, b, S, True)))
-    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x, train=False))
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats  # FrozenBN stats
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
     world = jnp.asarray(WORLD_POINTS, jnp.float32)
     solver = jax.jit(
         jax.vmap(lambda p, l: solve_pose_simple(world, p, l, SolverConfig()))
     )
 
-    def timeit(fn, *a, iters=args.test_num):
-        out = fn(*a)
-        jax.block_until_ready(out)
+    def scalarize(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return jnp.sum(jnp.asarray(leaf, jnp.float32))
+
+    def timeit(fn, arg_pool, iters=args.test_num):
+        out = fn(*arg_pool[0])
+        float(scalarize(out))  # compile + true host sync
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*a)
-        jax.block_until_ready(out)
+        acc = jnp.float32(0.0)
+        for i in range(iters):
+            out = fn(*arg_pool[i % len(arg_pool)])
+            acc = acc + scalarize(out)
+        float(acc)
         return (time.perf_counter() - t0) / iters, out
 
-    t_warp, x = timeit(warp, imgs, bbs)
-    t_model, out = timeit(fwd, state.params, x)
-    probs = jax.nn.softmax(out["pred_logits"], -1)
-    pts = (out["pred_points"] * 400 + 700).astype(jnp.float32)
-    t_solver, _ = timeit(solver, pts, probs)
+    t_warp, x = timeit(warp, [(im, bbs) for im in img_pool])
+    x_pool = [warp(im, bbs) for im in img_pool]
+    t_model, out = timeit(fwd, [(variables, xx) for xx in x_pool])
+    solver_pool = []
+    for xx in x_pool:
+        o = fwd(variables, xx)
+        solver_pool.append((
+            (o["pred_points"] * 400 + 700).astype(jnp.float32),
+            jax.nn.softmax(o["pred_logits"], -1),
+        ))
+    t_solver, _ = timeit(solver, solver_pool)
 
     total = t_warp + t_model + t_solver
     print(f"batch {B} input {S}:")
