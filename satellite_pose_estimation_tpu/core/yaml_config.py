@@ -205,6 +205,23 @@ class YAMLConfig:
             betas=tuple(o.get("betas", (0.9, 0.999))),
         )
 
+    def augment_config(self, out_size: int):
+        """AugmentConfig from the optional ``augment:`` YAML section —
+        every field of data/augment.AugmentConfig can be overridden (e.g.
+        corruption probabilities, interp), defaults match the reference's
+        albumentations recipe (R1/datasets/speed.py:306-334)."""
+        from ..data.augment import AugmentConfig
+
+        a = dict(self.yaml_cfg.get("augment", {}) or {})
+        a.pop("out_size", None)
+        unknown = set(a) - set(AugmentConfig._fields)
+        if unknown:
+            raise ValueError(f"unknown augment fields: {sorted(unknown)}")
+        for k in ("iso_color_shift", "iso_intensity"):
+            if k in a:
+                a[k] = tuple(a[k])
+        return AugmentConfig(out_size=out_size, **a)
+
     def build_tx(self, params, steps_per_epoch: int = 1):
         """Registry-built optax transform from the full R2 optimizer +
         lr_scheduler sections (regex param groups, SGD/Adam/AdamW,

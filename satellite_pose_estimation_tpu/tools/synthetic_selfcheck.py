@@ -90,7 +90,13 @@ def main(args):
     if not os.path.exists(os.path.join(args.root, "annos/wz_train.json")):
         render_dataset(args.root, args.n_images, args.seed)
 
+    aug_overrides = {}
+    if getattr(args, "aug", "full") == "r1":
+        # round-1 reduced family (A/B control arm): no JPEG/ISO/blur-OneOf
+        aug_overrides = {"p_jpeg": 0.0, "p_iso": 0.0, "p_blur_family": 0.0}
+
     cfg = YAMLConfig(cfg={
+        "augment": aug_overrides,
         "task": "landmarker",
         "model": "RTDETR",
         "num_classes": 11,
@@ -143,4 +149,6 @@ if __name__ == "__main__":
     parser.add_argument("--lr", type=float, default=3e-4)
     parser.add_argument("--dtype", default="float32")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--aug", choices=("full", "r1"), default="full",
+                        help="augmentation recipe: full reference family or the round-1 reduced control arm")
     main(parser.parse_args())

@@ -109,7 +109,7 @@ class SpeedSolver:
 
         self.train_step = make_train_step(
             self.criterion_cfg, self.train_cfg,
-            AugmentConfig(out_size=self.resize),
+            cfg.augment_config(self.resize),
         )
         solver_kind = "sigma" if self.criterion_cfg.point_loss == "uncert" \
             else "simple"

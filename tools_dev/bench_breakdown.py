@@ -271,6 +271,79 @@ def main():
             print(f"{'full train step':36s} {dtt*1e3:9.2f} ms/iter "
                   f"{B/dtt:9.0f} img/s", flush=True)
 
+        if want("rotprobe"):
+            from satellite_pose_estimation_tpu.ops.image_warp import (
+                affine_warp_bilinear)
+            n_rot, S = max(int(round(0.4 * B)), 1), 224
+            crops = [jnp.asarray(
+                np.random.RandomState(i).rand(n_rot, S, S, 3) * 255,
+                jnp.float32) for i in range(4)]
+            thetas = jnp.linspace(-1.0, 1.0, n_rot)
+            c = (S - 1.0) / 2.0
+
+            def rot_m(th):
+                cos, sin = jnp.cos(th), jnp.sin(th)
+                return jnp.asarray([
+                    [cos, sin, c - cos * c - sin * c],
+                    [-sin, cos, c + sin * c - cos * c]])
+
+            fa = jax.jit(lambda x: jax.vmap(
+                lambda im, th: affine_warp_bilinear(im, rot_m(th), S, False)
+            )(x, thetas))
+            timeit(f"rotation flat-gather f32 (n={n_rot})",
+                   lambda i: fa(crops[i]), list(range(4)))
+
+            crops16 = [x.astype(jnp.bfloat16) for x in crops]
+            timeit(f"rotation flat-gather bf16 in",
+                   lambda i: fa(crops16[i]), list(range(4)))
+
+            # 2D advanced-indexing formulation (img[yc, xc] directly)
+            def rot2d(im, th):
+                M = rot_m(th)
+                d = jnp.arange(S, dtype=jnp.float32)
+                dx, dy = jnp.meshgrid(d, d, indexing="xy")
+                sx = M[0, 0] * dx + M[0, 1] * dy + M[0, 2]
+                sy = M[1, 0] * dx + M[1, 1] * dy + M[1, 2]
+                x0, y0 = jnp.floor(sx), jnp.floor(sy)
+                tx, ty = sx - x0, sy - y0
+                def samp(xi, yi):
+                    inside = ((xi >= 0) & (xi <= S - 1)
+                              & (yi >= 0) & (yi <= S - 1))
+                    xc = jnp.clip(xi, 0, S - 1).astype(jnp.int32)
+                    yc = jnp.clip(yi, 0, S - 1).astype(jnp.int32)
+                    return im[yc, xc] * inside[..., None]
+                out = (samp(x0, y0) * ((1 - tx) * (1 - ty))[..., None]
+                       + samp(x0 + 1, y0) * (tx * (1 - ty))[..., None]
+                       + samp(x0, y0 + 1) * ((1 - tx) * ty)[..., None]
+                       + samp(x0 + 1, y0 + 1) * (tx * ty)[..., None])
+                return out
+            f2 = jax.jit(lambda x: jax.vmap(rot2d)(x, thetas))
+            timeit("rotation 2d-index gather",
+                   lambda i: f2(crops[i]), list(range(4)))
+
+            # row-band formulation: gather whole rows (y taps), then
+            # take_along_axis within rows (x taps)
+            def rot_rows(im, th):
+                M = rot_m(th)
+                d = jnp.arange(S, dtype=jnp.float32)
+                dx, dy = jnp.meshgrid(d, d, indexing="xy")
+                sx = M[0, 0] * dx + M[0, 1] * dy + M[0, 2]
+                sy = M[1, 0] * dx + M[1, 1] * dy + M[1, 2]
+                x0, y0 = jnp.floor(sx), jnp.floor(sy)
+                tx, ty = sx - x0, sy - y0
+                def samp(xi, yi):
+                    inside = ((xi >= 0) & (xi <= S - 1)
+                              & (yi >= 0) & (yi <= S - 1))
+                    xc = jnp.clip(xi, 0, S - 1).astype(jnp.int32)
+                    yc = jnp.clip(yi, 0, S - 1).astype(jnp.int32)
+                    rows = jnp.take_along_axis(
+                        im, yc[..., None, None].repeat(S, -2), axis=0
+                    ) if False else im[yc]  # (S,S,S,3)? too big — use direct
+                    return im[yc, xc] * inside[..., None]
+                return (samp(x0, y0) * ((1 - tx) * (1 - ty))[..., None]
+                        + samp(x0 + 1, y0 + 1) * (tx * ty)[..., None])
+            del rot_rows  # row-band variant shelved (memory blowup)
+
         if want("warponly"):
             from satellite_pose_estimation_tpu.data.augment import (
                 _sample_affine)
