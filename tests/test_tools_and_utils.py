@@ -218,3 +218,20 @@ def test_val_p_which_p_sweep(tmp_path):
         assert all(v < 0.2 for v in results.values()), (mode, results)
         # more points should not be dramatically worse
         assert results[11] <= results[4] + 0.05
+
+
+def test_yaml_augment_config():
+    from satellite_pose_estimation_tpu.core.yaml_config import YAMLConfig
+
+    cfg = YAMLConfig(cfg={"augment": {"p_jpeg": 0.0, "interp": "cubic",
+                                      "iso_intensity": [0.2, 0.3]}})
+    a = cfg.augment_config(96)
+    assert a.out_size == 96 and a.p_jpeg == 0.0 and a.interp == "cubic"
+    assert a.iso_intensity == (0.2, 0.3)
+    assert a.p_iso == 0.2  # untouched defaults stay
+
+    import pytest as _pytest
+
+    bad = YAMLConfig(cfg={"augment": {"p_tpyo": 1.0}})
+    with _pytest.raises(ValueError, match="unknown augment"):
+        bad.augment_config(96)
