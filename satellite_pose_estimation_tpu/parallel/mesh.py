@@ -30,9 +30,10 @@ def create_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     """
     if jax.process_count() > 1:
         raise NotImplementedError(
-            "multi-host meshes are not supported: this framework targets "
-            "single-process SPMD (one host driving all chips in the slice); "
-            f"got process_count={jax.process_count()}"
+            "create_mesh is single-process SPMD (one host driving all chips "
+            f"in the slice); got process_count={jax.process_count()}. For "
+            "multi-host runs use parallel/multihost.py: init_distributed + "
+            "global_mesh + host_sharded_batch."
         )
     devices = jax.devices()
     if n_devices is not None:

@@ -221,7 +221,7 @@ def main():
 
     # ================= train-side dissection =================
     if any(want(s) for s in ("trainstep", "gradonly", "gradcrit", "augb",
-                             "warponly", "photonly")):
+                             "warponly", "photonly", "rotprobe")):
         from satellite_pose_estimation_tpu.data.augment import (
             AugmentConfig, augment_batch)
         from satellite_pose_estimation_tpu.losses.criterion import (
