@@ -57,7 +57,49 @@ def main():
     gathered = allgather_object({"rank": np.asarray([rank])})
     assert sorted(np.asarray(gathered["rank"]).ravel().tolist()) == [0, 1]
 
-    print(f"MULTIHOST_OK rank={rank} total={float(total)}", flush=True)
+    # one REAL sharded train step across both hosts: each process feeds its
+    # local half of the global batch; gradients reduce over all 8 devices.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from satellite_pose_estimation_tpu.data.augment import AugmentConfig
+    from satellite_pose_estimation_tpu.losses.criterion import (
+        CriterionConfig)
+    from satellite_pose_estimation_tpu.models.detr import (
+        DETRConfig, DETRKeypointModel)
+    from satellite_pose_estimation_tpu.train.state import (
+        TrainConfig, create_train_state)
+    from satellite_pose_estimation_tpu.train.steps import make_train_step
+
+    model = DETRKeypointModel(DETRConfig(
+        backbone="resnet18", hidden_dim=32, nheads=4, enc_layers=1,
+        dec_layers=2, dim_feedforward=64, num_queries=16, dropout=0.0))
+    tc = TrainConfig()
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        jnp.zeros((2, 64, 64, 3), jnp.float32), tc)
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+
+    r = np.random.RandomState(rank)
+    local_b = 8  # global batch 16
+    train_batch = host_sharded_batch({
+        "image": r.randint(0, 255, (local_b, 96, 96, 3)).astype(np.uint8),
+        "clip_bbox_buf": np.tile(
+            np.float32([4, 4, 92, 92]), (local_b, 1)),
+        "landmarks_buf": (r.rand(local_b, 11, 2) * 80 + 5).astype(
+            np.float32),
+        "labels": np.tile(np.arange(11, dtype=np.int32), (local_b, 1)),
+    }, mesh)
+    step = make_train_step(CriterionConfig(), tc, AugmentConfig(out_size=64))
+    state, losses = step(state, train_batch, jax.random.PRNGKey(1))
+    loss = float(losses["loss_total"])
+    assert np.isfinite(loss), loss
+    # every process must see the SAME globally reduced loss
+    all_losses = np.asarray(
+        allgather_object(np.asarray([loss], np.float32))).ravel()
+    np.testing.assert_allclose(all_losses, all_losses[0], rtol=1e-6)
+
+    print(f"MULTIHOST_OK rank={rank} total={float(total)} "
+          f"loss={loss:.4f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -33,7 +33,7 @@ def test_two_process_global_mesh():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=480)
         except subprocess.TimeoutExpired:
             p.kill()
             out, _ = p.communicate()
