@@ -344,6 +344,24 @@ def main():
                         + samp(x0 + 1, y0 + 1) * (tx * ty)[..., None])
             del rot_rows  # row-band variant shelved (memory blowup)
 
+        if want("shearprobe"):
+            # row-structured gather: out[y,x] = in[y, x + k[y]] via
+            # take_along_axis — if this beats the random 2D gather, rotation
+            # can be decomposed into 3 shears (6 taps vs 4, but structured)
+            n_rot, S = max(int(round(0.4 * B)), 1), 224
+            crops = [jnp.asarray(
+                np.random.RandomState(i).rand(n_rot, S, S, 3) * 255,
+                jnp.float32) for i in range(4)]
+            offs = jnp.asarray(
+                np.random.RandomState(9).randint(-80, 80, (n_rot, S)))
+
+            def shear_x(im, k):  # (S,S,3), (S,) int offsets per row
+                idx = (jnp.arange(S)[None, :] + k[:, None]) % S  # (S,S)
+                return jnp.take_along_axis(im, idx[..., None], axis=1)
+            fs = jax.jit(lambda x: jax.vmap(shear_x)(x, offs))
+            timeit(f"shear take_along_axis (n={n_rot})",
+                   lambda i: fs(crops[i]), list(range(4)))
+
         if want("warponly"):
             from satellite_pose_estimation_tpu.data.augment import (
                 _sample_affine)
