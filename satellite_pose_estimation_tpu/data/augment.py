@@ -56,6 +56,10 @@ class AugmentConfig(NamedTuple):
     cutout_max: int = 40
     p_trunc: float = 0.2
     trunc_ratio: float = 0.2
+    # "shear" = Paeth 3-shear rotation (elementwise blends + contiguous
+    # slices, no 2-D gather — the TPU-fast path); "gather" = direct
+    # inverse-affine warp (bitwise-closer to cv2.warpAffine, ~10x slower).
+    rotate_impl: str = "shear"
 
 
 def _sample_affine(rng, clip_bbox, cfg: AugmentConfig):
@@ -482,19 +486,25 @@ def augment_batch(rng, images, clip_bboxes, landmarks,
             k_rot, (n_rot,), minval=-cfg.rotate_limit_deg,
             maxval=cfg.rotate_limit_deg) * (jnp.pi / 180.0)
         c = (S - 1.0) / 2.0
-        rot_warp = affine_warp_cubic if cubic else affine_warp_bilinear
+        if cfg.rotate_impl == "shear" and cfg.rotate_limit_deg <= 90.0:
+            from ..ops.image_warp import rotate_shear3
 
-        def rot_one(im, th):
-            cos, sin = jnp.cos(th), jnp.sin(th)
-            # out -> src: src = R(-th) (out - c) + c
-            M = jnp.asarray([
-                [cos, sin, c - cos * c - sin * c],
-                [-sin, cos, c + sin * c - cos * c],
-            ])
-            return rot_warp(im, M, S, normalize=False)
+            rotated = jax.vmap(lambda im, th: rotate_shear3(im, th, cubic))(
+                jnp.take(warped, idx, axis=0), thetas)
+        else:
+            rot_warp = affine_warp_cubic if cubic else affine_warp_bilinear
 
-        warped = warped.at[idx].set(
-            jax.vmap(rot_one)(jnp.take(warped, idx, axis=0), thetas))
+            def rot_one(im, th):
+                cos, sin = jnp.cos(th), jnp.sin(th)
+                # out -> src: src = R(-th) (out - c) + c
+                M = jnp.asarray([
+                    [cos, sin, c - cos * c - sin * c],
+                    [-sin, cos, c + sin * c - cos * c],
+                ])
+                return rot_warp(im, M, S, normalize=False)
+
+            rotated = jax.vmap(rot_one)(jnp.take(warped, idx, axis=0), thetas)
+        warped = warped.at[idx].set(rotated)
         # keypoints rotate with the content: kp' = R(th) (kp - c) + c
         kps = jnp.take(kp, idx, axis=0)
         cos, sin = jnp.cos(thetas)[:, None], jnp.sin(thetas)[:, None]

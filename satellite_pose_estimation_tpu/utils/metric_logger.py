@@ -5,13 +5,12 @@ Capability parity with the reference MetricLogger/SmoothedValue
 meters, a global average, formatted log lines every print_freq iterations
 with iter/data times and ETA.
 
-Divergence from the reference's L8 contract (documented): the reference
-all_reduces meter state across DDP ranks (R2/src/misc/logger.py:37-48).
-This framework is single-process SPMD — ONE host drives every chip in the
-slice and loss scalars arriving at the host are already globally reduced by
-XLA — so `synchronize_between_processes` is a no-op kept for API
-compatibility. Multi-host (multi-process) runs are rejected loudly at mesh
-creation (parallel/mesh.py:create_mesh).
+`synchronize_between_processes` matches the reference's cross-rank
+all_reduce of (count, total) (R2/src/misc/logger.py:37-48): a no-op in
+single-process SPMD (loss scalars reaching the host are already globally
+reduced by XLA), a `process_allgather` merge in multi-host runs
+(parallel/multihost.py). The smoothing window stays process-local, exactly
+as in the reference.
 """
 from __future__ import annotations
 
@@ -55,7 +54,18 @@ class SmoothedValue:
         return self.deque[-1] if self.deque else 0.0
 
     def synchronize_between_processes(self):
-        pass
+        """Sum (count, total) across processes (the reference's dist
+        barrier+all_reduce, R2/src/misc/logger.py:37-48). The window deque
+        stays local, as upstream."""
+        import jax
+
+        if jax.process_count() == 1:
+            return
+        from ..parallel.multihost import allgather_object
+
+        gathered = allgather_object((float(self.total), float(self.count)))
+        self.total = float(gathered[0].sum())
+        self.count = int(gathered[1].sum())
 
     def __str__(self):
         return self.fmt.format(
@@ -83,6 +93,10 @@ class MetricLogger:
 
     def add_meter(self, name, meter):
         self.meters[name] = meter
+
+    def synchronize_between_processes(self):
+        for meter in self.meters.values():
+            meter.synchronize_between_processes()
 
     def __str__(self):
         return self.delimiter.join(

@@ -98,6 +98,18 @@ def main():
         allgather_object(np.asarray([loss], np.float32))).ravel()
     np.testing.assert_allclose(all_losses, all_losses[0], rtol=1e-6)
 
+    # cross-process meter sync (the reference's MetricLogger all_reduce,
+    # R2/src/misc/logger.py:37-48): counts/totals sum over ranks
+    from satellite_pose_estimation_tpu.utils.metric_logger import (
+        MetricLogger)
+
+    logger = MetricLogger()
+    logger.update(loss=float(rank + 1))  # rank0: 1.0, rank1: 2.0
+    logger.synchronize_between_processes()
+    assert logger.meters["loss"].count == world
+    np.testing.assert_allclose(
+        logger.meters["loss"].global_avg, 1.5 if world == 2 else 1.0)
+
     print(f"MULTIHOST_OK rank={rank} total={float(total)} "
           f"loss={loss:.4f}", flush=True)
 

@@ -105,3 +105,106 @@ def test_pack_crop_decimation(rng):
     buf, bbox_buf, scale, offset = pack_crop(img, clip, 512)
     assert scale in (2.0, 4.0)
     assert bbox_buf[2] <= 512 + 1 and bbox_buf[3] <= 512 + 1
+
+
+def _square_smooth(rng, s=128):
+    small = rng.rand(s // 8, s // 8, 3) * 255
+    return cv2.resize(small, (s, s), interpolation=cv2.INTER_CUBIC).clip(
+        0, 255
+    ).astype(np.float32)
+
+
+def test_rotate_shear3_identity(rng):
+    from satellite_pose_estimation_tpu.ops.image_warp import rotate_shear3
+
+    img = _square_smooth(rng)
+    out = np.asarray(rotate_shear3(jnp.asarray(img), jnp.float32(0.0)))
+    np.testing.assert_allclose(out, img, atol=1e-3)
+
+
+@pytest.mark.parametrize("deg", [7.0, -30.0, 62.0, -89.0])
+def test_rotate_shear3_vs_cv2(rng, deg):
+    """3-shear rotation ~= cv2.warpAffine direct rotation on smooth content
+    (the reference's train-time Rotate, borderValue 0). Interpolation is
+    three 1-D passes vs one 2-D kernel, so parity is behavioral."""
+    from satellite_pose_estimation_tpu.ops.image_warp import rotate_shear3
+
+    img = _square_smooth(rng)
+    S = img.shape[0]
+    c = (S - 1) / 2.0
+    theta = np.deg2rad(deg)
+    ours = np.asarray(rotate_shear3(jnp.asarray(img), jnp.float32(theta)))
+    # cv2.getRotationMatrix2D(angle>0) is CCW in (x, up-y) = content map
+    # R(-theta) in (x, down-y); our content map is kp' = R(theta)(kp-c)+c.
+    M = cv2.getRotationMatrix2D((c, c), -deg, 1.0)
+    ref = cv2.warpAffine(
+        img, M, (S, S), flags=cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_CONSTANT, borderValue=0,
+    )
+    err = np.abs(ours - ref)
+    assert np.median(err) < 2.0, f"median err {np.median(err)}"
+    # zero-border region must agree away from the content edge (the shear
+    # passes anti-alias the content/zero boundary over a ~2 px band)
+    content = (ref.max(axis=-1) > 0).astype(np.uint8)
+    near = cv2.dilate(content, np.ones((9, 9), np.uint8)) > 0
+    far_out = ~near
+    if far_out.any():
+        assert np.abs(ours[far_out]).max() < 4.0
+
+
+def test_rotate_shear3_matches_gather_warp(rng):
+    """Same rotation via the direct inverse-affine gather path (the
+    augment_batch fallback) — both are bilinear, so they agree tightly."""
+    from satellite_pose_estimation_tpu.ops.image_warp import (
+        affine_warp_bilinear,
+        rotate_shear3,
+    )
+
+    img = _square_smooth(rng)
+    S = img.shape[0]
+    c = (S - 1) / 2.0
+    theta = 0.41
+    cos, sin = np.cos(theta), np.sin(theta)
+    M = jnp.asarray([
+        [cos, sin, c - cos * c - sin * c],
+        [-sin, cos, c + sin * c - cos * c],
+    ])
+    gather = np.asarray(
+        affine_warp_bilinear(jnp.asarray(img), M, S, normalize=False)
+    )
+    shear = np.asarray(rotate_shear3(jnp.asarray(img), jnp.float32(theta)))
+    assert np.median(np.abs(shear - gather)) < 2.0
+
+
+def test_rotate_shear3_keypoint_consistency(rng):
+    """A bright dot must land where the keypoint forward map
+    kp' = R(theta)(kp - c) + c says it lands."""
+    from satellite_pose_estimation_tpu.ops.image_warp import rotate_shear3
+
+    S = 128
+    img = np.zeros((S, S, 3), np.float32)
+    kp = np.asarray([88.0, 37.0])
+    img[int(kp[1]), int(kp[0])] = 255.0
+    img = cv2.GaussianBlur(img, (9, 9), 2.0) * 40.0
+    theta = -0.7
+    out = np.asarray(rotate_shear3(jnp.asarray(img), jnp.float32(theta)))
+    c = (S - 1) / 2.0
+    rel = kp - c
+    expect = np.asarray([
+        np.cos(theta) * rel[0] - np.sin(theta) * rel[1] + c,
+        np.sin(theta) * rel[0] + np.cos(theta) * rel[1] + c,
+    ])
+    yx = np.unravel_index(np.argmax(out[..., 0]), out[..., 0].shape)
+    got = np.asarray([yx[1], yx[0]], np.float32)
+    assert np.linalg.norm(got - expect) < 1.6, (got, expect)
+
+
+def test_rotate_shear3_cubic_close_to_bilinear(rng):
+    from satellite_pose_estimation_tpu.ops.image_warp import rotate_shear3
+
+    img = _square_smooth(rng)
+    bil = np.asarray(rotate_shear3(jnp.asarray(img), jnp.float32(0.3)))
+    cub = np.asarray(
+        rotate_shear3(jnp.asarray(img), jnp.float32(0.3), cubic=True)
+    )
+    assert np.median(np.abs(bil - cub)) < 1.5

@@ -434,6 +434,46 @@ def main():
                    lambda i: g2(state.params, imgs[i], jax.random.PRNGKey(0)),
                    list(range(4)))
 
+    # --- ResNet stem: conv1 7x7/2 (3ch input) + maxpool, vs space-to-depth
+    if want("stem"):
+        k7 = jnp.asarray(rng.randn(7, 7, 3, 64) * 0.1, dt)
+
+        def stem(x):
+            y = jax.lax.conv_general_dilated(
+                x.astype(dt), k7, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = nn.relu(y)
+            return nn.max_pool(y, (3, 3), strides=(2, 2),
+                               padding=((1, 1), (1, 1)))
+
+        xs = pool_of((B, 224, 224, 3), 4, jnp.float32)
+        timeit("stem conv7x7/2 + maxpool", jax.jit(stem), xs)
+
+        # space-to-depth(2) equivalent: pad to 232, s2d -> (116,116,12),
+        # 4x4/1 conv with remapped weights, crop to 112.
+        k8 = jnp.zeros((8, 8, 3, 64), dt).at[1:, 1:].set(k7)
+        ks2d = k8.reshape(4, 2, 4, 2, 3, 64).transpose(0, 2, 1, 3, 4, 5)
+        ks2d = ks2d.reshape(4, 4, 12, 64)
+
+        def stem_s2d(x):
+            xp = jnp.pad(x.astype(dt), ((0, 0), (4, 4), (4, 4), (0, 0)))
+            xs2 = xp.reshape(B, 116, 2, 116, 2, 3).transpose(
+                0, 1, 3, 2, 4, 5).reshape(B, 116, 116, 12)
+            y = jax.lax.conv_general_dilated(
+                xs2, ks2d, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))[:, :112, :112]
+            y = nn.relu(y)
+            return nn.max_pool(y, (3, 3), strides=(2, 2),
+                               padding=((1, 1), (1, 1)))
+
+        timeit("stem space-to-depth", jax.jit(stem_s2d), xs)
+
+    # --- softmax cost at encoder score shape
+    if want("softmax"):
+        fs = jax.jit(lambda x: jax.nn.softmax(x, axis=-1))
+        xs = pool_of((B, 8, 784, 784))
+        timeit("softmax (B,8,784,784) bf16", fs, xs)
+
     print("done", flush=True)
 
 
