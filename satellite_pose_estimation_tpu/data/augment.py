@@ -56,9 +56,10 @@ class AugmentConfig(NamedTuple):
     cutout_max: int = 40
     p_trunc: float = 0.2
     trunc_ratio: float = 0.2
-    # "shear" = Paeth 3-shear rotation (elementwise blends + contiguous
-    # slices, no 2-D gather — the TPU-fast path); "gather" = direct
-    # inverse-affine warp (bitwise-closer to cv2.warpAffine, ~10x slower).
+    # "shear" = Paeth 3-shear rotation with binary-decomposed shifts (no
+    # 2-D gather — the TPU-fast path); "pallas" = the same shears fused
+    # into one VMEM kernel (ops/pallas_rotate.py, TPU only); "gather" =
+    # direct inverse-affine warp (bitwise cv2.warpAffine, ~5x slower).
     rotate_impl: str = "shear"
 
 
@@ -486,7 +487,12 @@ def augment_batch(rng, images, clip_bboxes, landmarks,
             k_rot, (n_rot,), minval=-cfg.rotate_limit_deg,
             maxval=cfg.rotate_limit_deg) * (jnp.pi / 180.0)
         c = (S - 1.0) / 2.0
-        if cfg.rotate_impl == "shear" and cfg.rotate_limit_deg <= 90.0:
+        if cfg.rotate_impl == "pallas" and cfg.rotate_limit_deg <= 90.0:
+            from ..ops.pallas_rotate import rotate_shear3_pallas
+
+            rotated = rotate_shear3_pallas(
+                jnp.take(warped, idx, axis=0), thetas, cubic=cubic)
+        elif cfg.rotate_impl == "shear" and cfg.rotate_limit_deg <= 90.0:
             from ..ops.image_warp import rotate_shear3
 
             rotated = jax.vmap(lambda im, th: rotate_shear3(im, th, cubic))(

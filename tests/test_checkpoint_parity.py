@@ -178,3 +178,25 @@ def test_detr_surgery_slice_adapts_query_embed():
                                   np.ones((8, 12), np.float32))
     np.testing.assert_array_equal(out["only_in_dst"]["w"],
                                   np.full((2,), 7.0, np.float32))
+
+
+def test_s2d_stem_matches_direct_conv(rng):
+    """SpaceToDepthStem must be output-equal to the direct 7x7/2 conv on
+    the same (torchvision-shaped) parameters, and keep the param tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from satellite_pose_estimation_tpu.models.resnet import ResNet
+
+    x = jnp.asarray(rng.randn(2, 96, 96, 3), jnp.float32)
+    direct = ResNet(arch="resnet18", taps=(2,), s2d_stem=False)
+    s2d = ResNet(arch="resnet18", taps=(2,), s2d_stem=True)
+    v = direct.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        s2d.init(jax.random.PRNGKey(0), x, train=False)
+    )
+    y1 = direct.apply(v, x, train=False)[0]
+    y2 = s2d.apply(v, x, train=False)[0]
+    import numpy as np
+
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-4)

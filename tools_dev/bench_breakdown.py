@@ -73,6 +73,13 @@ def main():
         xs = pool_of((B, 224, 224, 3), 4, jnp.float32)
         timeit("Backbone8s fwd @224", lambda x: fb(vb, x), xs)
 
+    if want("backbone_nos2d"):
+        bb2 = Backbone8s(dtype=dt, s2d_stem=False)
+        vb2 = bb2.init(key, jnp.zeros((2, 224, 224, 3)), train=False)
+        fb2 = jax.jit(lambda v, x: bb2.apply(v, x, train=False))
+        xs = pool_of((B, 224, 224, 3), 4, jnp.float32)
+        timeit("Backbone8s fwd @224 (no s2d)", lambda x: fb2(vb2, x), xs)
+
     # --- single encoder layer (T=784, d=256, ffn=2048)
     if want("enc"):
         enc = EncoderLayer(256, 8, 2048, 0.0, "relu", False, dt)
@@ -434,6 +441,11 @@ def main():
                    lambda i: g2(state.params, imgs[i], jax.random.PRNGKey(0)),
                    list(range(4)))
 
+    def device_pool(shape, n=3, dtype=jnp.bfloat16):
+        # generated ON device: avoids multi-GB host->device tunnel transfers
+        mk = jax.jit(lambda k: jax.random.normal(k, shape, dtype))
+        return [mk(jax.random.PRNGKey(i)) for i in range(n)]
+
     # --- ResNet stem: conv1 7x7/2 (3ch input) + maxpool, vs space-to-depth
     if want("stem"):
         k7 = jnp.asarray(rng.randn(7, 7, 3, 64) * 0.1, dt)
@@ -446,7 +458,7 @@ def main():
             return nn.max_pool(y, (3, 3), strides=(2, 2),
                                padding=((1, 1), (1, 1)))
 
-        xs = pool_of((B, 224, 224, 3), 4, jnp.float32)
+        xs = device_pool((B, 224, 224, 3), 3, jnp.float32)
         timeit("stem conv7x7/2 + maxpool", jax.jit(stem), xs)
 
         # space-to-depth(2) equivalent: pad to 232, s2d -> (116,116,12),
@@ -471,7 +483,7 @@ def main():
     # --- softmax cost at encoder score shape
     if want("softmax"):
         fs = jax.jit(lambda x: jax.nn.softmax(x, axis=-1))
-        xs = pool_of((B, 8, 784, 784))
+        xs = device_pool((B, 8, 784, 784), 2)
         timeit("softmax (B,8,784,784) bf16", fs, xs)
 
     print("done", flush=True)

@@ -67,6 +67,12 @@ def main():
             lambda im, th: rotate_shear3(im, th))(x, thetas))
         timeit(f"3-shear rot n={NROT} @{S}", sh, pool)
 
+        from satellite_pose_estimation_tpu.ops.pallas_rotate import (
+            rotate_shear3_pallas)
+
+        pk = jax.jit(lambda x: rotate_shear3_pallas(x, thetas))
+        timeit(f"pallas rot n={NROT} @{S}", pk, pool)
+
     if want("aug"):
         key = jax.random.PRNGKey(0)
         P = 256
