@@ -95,37 +95,46 @@ _ARCHS = {
 
 
 class SpaceToDepthStem(nn.Module):
-    """conv1 (7x7/2, 3ch in) computed as space-to-depth(2) + 4x4/1 conv.
+    """A stride-2 stem conv on a 3-channel input, computed as
+    space-to-depth(2) + stride-1 conv.
 
     A 3-input-channel conv runs the MXU contraction at 3/128 lanes; the
-    s2d form contracts over 4*4*12 = 192 instead of 7*7*3 = 147 with far
-    better tiling — measured 45.4 -> 5.7 ms for the stem at batch 256
-    @224 on v5e. The parameter is STORED as the torchvision-shaped
-    (7, 7, 3, 64) ``conv1/kernel`` (checkpoint-converter compatible) and
-    remapped to the (4, 4, 12, 64) form inside the call; outputs are
-    bit-equal to the direct conv (same taps, zero padding)."""
+    s2d form contracts over (k+1)^2/4 * 12 channels with far better tiling
+    — measured 45.4 -> 5.7 ms for the 7x7 stem at batch 256 @224 on v5e.
+    The parameter is STORED in the torchvision shape ((k, k, 3, F) under
+    <name>/kernel — checkpoint-converter compatible) and remapped to the
+    ((k+1)/2+?, ...) s2d form inside the call; outputs equal the direct
+    SAME-padded stride-2 conv to f32 rounding. Requires odd k and even
+    input H/W (callers fall back to the direct conv otherwise)."""
 
     features: int = 64
+    kernel_size: int = 7
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        k = self.kernel_size
+        K = k + 1  # even padded kernel extent; cell kernel K//2
+        pad = (k - 1) // 2
+        pl_, pr_ = pad + 1, K - pad - 1
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (7, 7, 3, self.features),
+            (k, k, 3, self.features),
         )
-        k8 = jnp.zeros((8, 8, 3, self.features), self.dtype)
-        k8 = k8.at[1:, 1:].set(kernel.astype(self.dtype))
-        ks2d = k8.reshape(4, 2, 4, 2, 3, self.features)
+        kK = jnp.zeros((K, K, 3, self.features), self.dtype)
+        kK = kK.at[1:, 1:].set(kernel.astype(self.dtype))
+        Kc = K // 2
+        ks2d = kK.reshape(Kc, 2, Kc, 2, 3, self.features)
         ks2d = ks2d.transpose(0, 2, 1, 3, 4, 5).reshape(
-            4, 4, 12, self.features
+            Kc, Kc, 12, self.features
         )
         B, H, W, _ = x.shape
         xp = jnp.pad(
-            x.astype(self.dtype), ((0, 0), (4, 4), (4, 4), (0, 0))
+            x.astype(self.dtype),
+            ((0, 0), (pl_, pr_), (pl_, pr_), (0, 0)),
         )
-        hc, wc = (H + 8) // 2, (W + 8) // 2
+        hc, wc = (H + pl_ + pr_) // 2, (W + pl_ + pr_) // 2
         xs2 = xp.reshape(B, hc, 2, wc, 2, 3).transpose(
             0, 1, 3, 2, 4, 5
         ).reshape(B, hc, wc, 12)

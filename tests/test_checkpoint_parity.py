@@ -200,3 +200,22 @@ def test_s2d_stem_matches_direct_conv(rng):
     import numpy as np
 
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-4)
+
+
+def test_presnet_s2d_stem_matches_direct(rng):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from satellite_pose_estimation_tpu.models.presnet import PResNet
+
+    x = jnp.asarray(rng.randn(2, 64, 64, 3), jnp.float32)
+    direct = PResNet(depth=18, s2d_stem=False)
+    s2d = PResNet(depth=18, s2d_stem=True)
+    v = direct.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        s2d.init(jax.random.PRNGKey(0), x, train=False)
+    )
+    for a, b in zip(direct.apply(v, x, train=False),
+                    s2d.apply(v, x, train=False)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
