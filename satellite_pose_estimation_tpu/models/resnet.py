@@ -100,7 +100,11 @@ class SpaceToDepthStem(nn.Module):
 
     A 3-input-channel conv runs the MXU contraction at 3/128 lanes; the
     s2d form contracts over (k+1)^2/4 * 12 channels with far better tiling
-    — measured 45.4 -> 5.7 ms for the 7x7 stem at batch 256 @224 on v5e.
+    — measured 45.4 -> 5.7 ms for the 7x7 stem STANDALONE at batch 256
+    @224 on v5e. In the full fused eval program the end-to-end rate is
+    unchanged (XLA's layout assignment already avoids the pathological
+    standalone schedule); the s2d form makes the stem cost robust to
+    surrounding-program layout rather than dependent on it (see PERF.md).
     The parameter is STORED in the torchvision shape ((k, k, 3, F) under
     <name>/kernel — checkpoint-converter compatible) and remapped to the
     ((k+1)/2+?, ...) s2d form inside the call; outputs equal the direct
