@@ -114,17 +114,21 @@ class EncoderLayer(nn.Module):
             return Dense(self.d_model, dtype=self.dtype, name="linear2")(x)
 
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        # Sequence-parallel layout hook (parallel/sp.py): identity unless a
+        # sequence_sharding context is active at trace time, in which case
+        # the LN/FFN/residual segments between attentions run token-sharded.
+        from ..parallel.sp import constrain_seq
 
         if self.normalize_before:
             src2 = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
-            src = src + drop(sa(src2))
+            src = constrain_seq(src + drop(sa(src2)))
             src2 = nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
-            src = src + drop(ffn(src2))
+            src = constrain_seq(src + drop(ffn(src2)))
         else:
             src = src + drop(sa(src))
-            src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
+            src = constrain_seq(nn.LayerNorm(dtype=self.dtype, name="norm1")(src))
             src = src + drop(ffn(src))
-            src = nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
+            src = constrain_seq(nn.LayerNorm(dtype=self.dtype, name="norm2")(src))
         return src
 
 

@@ -50,7 +50,7 @@ def ensemble_apply(model, stacked_variables, images,
     # wrong numerics on the virtual CPU mesh (and grouped convs are slower
     # on TPU anyway). Under shard_map each device runs its own plain
     # forward over its K/n model shard.
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     K = jax.tree_util.tree_leaves(stacked_variables)[0].shape[0]
     n = mesh.devices.size
