@@ -80,6 +80,51 @@ def _put_bn(params, stats, prefix, field, val, put):
     # R1/models/backbone.py:34-38)
 
 
+def _f2t_conv(w):
+    return np.transpose(np.asarray(w), (3, 2, 0, 1))
+
+
+def convert_resnet_to_torchvision(params: dict, batch_stats: dict) -> dict:
+    """The inverse of :func:`convert_torchvision_resnet`: our
+    models.resnet.ResNet parameter/batch-stat trees -> a torchvision-naming
+    state_dict (numpy values). Lets a checkpoint trained here be loaded
+    back into the reference's torch models (the reverse of the reference's
+    pretrained-init story, R1/models/backbone.py:96-98); round-trip and
+    forward-parity tested against live torch in
+    tests/test_checkpoint_parity.py."""
+    sd: dict = {}
+
+    def bn_out(prefix_t, p_node, s_node):
+        sd[prefix_t + ".weight"] = np.asarray(p_node["scale"])
+        sd[prefix_t + ".bias"] = np.asarray(p_node["bias"])
+        sd[prefix_t + ".running_mean"] = np.asarray(s_node["mean"])
+        sd[prefix_t + ".running_var"] = np.asarray(s_node["var"])
+        sd[prefix_t + ".num_batches_tracked"] = np.asarray(0, np.int64)
+
+    for name, node in params.items():
+        if name == "conv1":
+            sd["conv1.weight"] = _f2t_conv(node["kernel"])
+        elif name == "bn1":
+            bn_out("bn1", node, batch_stats["bn1"])
+        elif name.startswith("layer"):
+            stage, block = name[5:].split("_")
+            t_prefix = f"layer{stage}.{block}"
+            s_node = batch_stats.get(name, {})
+            for sub, leaf in node.items():
+                if sub.startswith("conv"):
+                    sd[f"{t_prefix}.{sub}.weight"] = _f2t_conv(leaf["kernel"])
+                elif sub.startswith("bn"):
+                    bn_out(f"{t_prefix}.{sub}", leaf, s_node[sub])
+                elif sub == "downsample_conv":
+                    sd[f"{t_prefix}.downsample.0.weight"] = _f2t_conv(
+                        leaf["kernel"]
+                    )
+                elif sub == "downsample_bn":
+                    bn_out(f"{t_prefix}.downsample.1", leaf,
+                           s_node["downsample_bn"])
+    return sd
+
+
 def map_static_dicts(src_params: dict, dst_params: dict) -> dict:
     """Shape-adapting partial load (R1/main.py:20-87 behavior): copy every
     leaf whose path matches; where shapes differ on the leading axes (e.g.

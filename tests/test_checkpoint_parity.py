@@ -21,6 +21,7 @@ import jax.numpy as jnp  # noqa: E402
 
 from satellite_pose_estimation_tpu.models.resnet import ResNet  # noqa: E402
 from satellite_pose_estimation_tpu.utils.checkpoint_convert import (  # noqa: E402
+    convert_resnet_to_torchvision,
     convert_torchvision_resnet,
     map_static_dicts,
 )
@@ -219,3 +220,29 @@ def test_presnet_s2d_stem_matches_direct(rng):
     for a, b in zip(direct.apply(v, x, train=False),
                     s2d.apply(v, x, train=False)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_reverse_conversion_roundtrip(torch_trunk):
+    """flax -> torch (convert_resnet_to_torchvision) must invert
+    torch -> flax exactly, and the emitted state_dict must load strict
+    into a live torch trunk and reproduce its forward."""
+    sd = {k: v.numpy() for k, v in torch_trunk.state_dict().items()}
+    params, stats = convert_torchvision_resnet(sd)
+    back = convert_resnet_to_torchvision(params, stats)
+
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+    fresh = TorchResNet50Trunk().double().eval()
+    fresh.load_state_dict(
+        {k: torch.tensor(np.asarray(v)) for k, v in back.items()}
+    )
+    x = torch.tensor(
+        np.random.RandomState(2).randn(1, 3, 64, 64), dtype=torch.float64
+    )
+    with torch.no_grad():
+        r2, r3 = torch_trunk(x)
+        n2, n3 = fresh(x)
+    np.testing.assert_allclose(n2.numpy(), r2.numpy())
+    np.testing.assert_allclose(n3.numpy(), r3.numpy())
