@@ -58,7 +58,9 @@ def main():
             num_queries=20,
             dropout=0.0,
             use_flash_attention=os.environ.get("BENCH_FLASH", "0") == "1",
-            quantize_int8=os.environ.get("BENCH_INT8", "0") == "1",
+            # BENCH_INT8: 0 (bf16) | 1 (dynamic int8) | static (calibrated
+            # PTQ: per-site static activation scales, no max reductions)
+            quantize_int8=os.environ.get("BENCH_INT8", "0") in ("1", "static"),
             dtype=compute_dtype,
         )
         model = DETRKeypointModel(cfg)
@@ -129,7 +131,30 @@ def main():
         baseline = 125.0
     else:
         solver_kind = "sigma" if arch == "rtdetr" else "simple"
-        eval_step = make_eval_step(out_size=input_size, solver=solver_kind)
+        quant = None
+        if os.environ.get("BENCH_INT8") == "static":
+            from satellite_pose_estimation_tpu.ops.image_warp import (
+                crop_resize_cubic_mxu as crop_resize_cubic,
+            )
+            from satellite_pose_estimation_tpu.utils.calibrate import (
+                calibrate_act_scales,
+            )
+
+            warp = jax.jit(jax.vmap(
+                lambda img, bb: crop_resize_cubic(img, bb, input_size, True)
+            ))
+            calib_imgs = [
+                warp(pool[i]["image"], pool[i]["clip_bbox_buf"])
+                for i in range(2)
+            ]
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            quant = calibrate_act_scales(
+                model, variables, calib_imgs, train=False
+            )
+        eval_step = make_eval_step(out_size=input_size, solver=solver_kind,
+                                   quant=quant)
         res = eval_step(state, batch)
         jax.block_until_ready(res)
         t0 = time.perf_counter()

@@ -113,6 +113,32 @@ def get_activation(name: str) -> Callable:
     }[name]
 
 
+def _act_scale_or_calibrate(mod: nn.Module, x):
+    """Static-PTQ hook shared by QConv/QDense.
+
+    Three modes, decided structurally (trace-time) from the ``quant``
+    variable collection:
+    * calibration pass (``apply(..., mutable=["quant"])``): track the
+      running max|activation| into ``quant/act_amax`` and return None so
+      this pass still quantizes dynamically;
+    * calibrated inference (caller passes a ``quant`` collection, e.g.
+      from utils.calibrate.calibrate_act_scales): return the static scale,
+      eliminating the per-call max-reduction over the activation;
+    * uncalibrated (no ``quant`` in variables): return None -> dynamic.
+    """
+    if mod.is_mutable_collection("quant") and not mod.is_initializing():
+        amax = mod.variable("quant", "act_amax",
+                            lambda: jnp.zeros((), jnp.float32))
+        amax.value = jnp.maximum(
+            amax.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+        )
+        return None
+    if mod.has_variable("quant", "act_amax"):
+        val = mod.get_variable("quant", "act_amax")
+        return jnp.maximum(val, 1e-8) / 127.0
+    return None
+
+
 class QConv(nn.Module):
     """Drop-in nn.Conv replacement running on the int8 MXU path
     (ops/quantize.py): identical parameter contract (kernel HWIO +
@@ -143,7 +169,8 @@ class QConv(nn.Module):
         padding = self.padding
         if isinstance(padding, int):
             padding = ((padding, padding), (padding, padding))
-        y = int8_conv(x, kernel, strides, padding, out_dtype=self.dtype)
+        y = int8_conv(x, kernel, strides, padding, out_dtype=self.dtype,
+                      act_scale=_act_scale_or_calibrate(self, x))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,))
@@ -169,7 +196,8 @@ class QDense(nn.Module):
         )
         lead = x.shape[:-1]
         y = int8_matmul(x.reshape(-1, x.shape[-1]), kernel,
-                        out_dtype=self.dtype)
+                        out_dtype=self.dtype,
+                        act_scale=_act_scale_or_calibrate(self, x))
         y = y.reshape(*lead, self.features)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,

@@ -20,12 +20,19 @@ import jax
 import jax.numpy as jnp
 
 
-def _act_quantize(x):
-    """Per-tensor symmetric dynamic quantization. Returns (int8, scale)."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
-    scale = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
-    return q.astype(jnp.int8), scale
+def _act_quantize(x, act_scale=None):
+    """Per-tensor symmetric quantization. Returns (int8, scale).
+
+    ``act_scale`` (a precomputed scalar, e.g. calibrated amax/127) skips
+    the dynamic max reduction — the reduction is the expensive part of
+    dynamic quantization: it is a full pass over the activation with a
+    fusion barrier, while the scale/round/clip pass fuses into the
+    producing op."""
+    if act_scale is None:
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        act_scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / act_scale), -127, 127)
+    return q.astype(jnp.int8), act_scale
 
 
 def _weight_quantize(w, out_axis):
@@ -38,15 +45,16 @@ def _weight_quantize(w, out_axis):
     return q, scale.reshape(w.shape[out_axis])
 
 
-def int8_matmul(x, kernel, out_dtype=None):
+def int8_matmul(x, kernel, out_dtype=None, act_scale=None):
     """x (..., K) @ kernel (K, N) via the int8 MXU path.
 
-    Both operands are dynamically quantized; the int32 accumulator is
+    Both operands are quantized symmetrically (activations dynamically, or
+    with a calibrated static ``act_scale``); the int32 accumulator is
     rescaled back to float. Error vs the f32 matmul is bounded by the
     per-tensor activation step (~max|x|/127 per element).
     """
     out_dtype = out_dtype or x.dtype
-    xq, xs = _act_quantize(x)
+    xq, xs = _act_quantize(x, act_scale)
     wq, ws = _weight_quantize(kernel, out_axis=1)
     y = jax.lax.dot_general(
         xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
@@ -55,11 +63,12 @@ def int8_matmul(x, kernel, out_dtype=None):
     return (y.astype(jnp.float32) * (xs * ws)).astype(out_dtype)
 
 
-def int8_conv(x, kernel, strides=(1, 1), padding="SAME", out_dtype=None):
+def int8_conv(x, kernel, strides=(1, 1), padding="SAME", out_dtype=None,
+              act_scale=None):
     """NHWC x (B,H,W,Cin), HWIO kernel -> int8 convolution with float
     rescale. Falls back through XLA's integer conv lowering."""
     out_dtype = out_dtype or x.dtype
-    xq, xs = _act_quantize(x)
+    xq, xs = _act_quantize(x, act_scale)
     wq, ws = _weight_quantize(kernel, out_axis=3)
     y = jax.lax.conv_general_dilated(
         xq, wq, strides, padding,

@@ -121,6 +121,7 @@ def make_eval_step(
     out_size: int = 256,
     solver: str = "simple",  # simple | sigma | self_assessed
     use_ema: bool = False,
+    quant=None,
 ):
     """Build the jitted eval step: warp -> model -> postprocess (denormalize
     to original-image pixels via clip_bbox) -> batched device PnP -> scores.
@@ -128,6 +129,10 @@ def make_eval_step(
     Batch dict: image (B,P,P,3), clip_bbox_buf (B,4), clip_bbox (B,4) in
     original coords, scale (B,), offset (B,2), plus quat_gt/tvec_gt when
     ground truth is available.
+
+    ``quant``: optional calibrated activation-scale collection
+    (utils.calibrate.calibrate_act_scales) for the static-PTQ int8 path —
+    QConv/QDense then skip their per-call activation max reductions.
     """
     world = jnp.asarray(WORLD_POINTS, jnp.float32)
 
@@ -141,6 +146,8 @@ def make_eval_step(
         variables = {"params": params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
+        if quant is not None:
+            variables["quant"] = quant
         outputs = state.apply_fn(variables, images, train=False)
 
         probs = jax.nn.softmax(outputs["pred_logits"], axis=-1)

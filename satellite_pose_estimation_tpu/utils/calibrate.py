@@ -1,0 +1,33 @@
+"""Static-PTQ calibration: collect per-site activation ranges.
+
+The TPU-native analogue of TensorRT's int8 calibration pass (the
+reference's deployment story is export_onnx -> TensorRT, R2/tools/
+export_onnx.py): run a handful of representative batches through the
+quantized model with the ``quant`` variable collection mutable; every
+QConv/QDense records its running max|activation| (models/layers.py
+``_act_scale_or_calibrate``). Feeding the resulting collection back at
+inference (``make_eval_step(..., quant=...)``) replaces each dynamic
+per-batch max reduction with a constant scale.
+"""
+from __future__ import annotations
+
+
+def calibrate_act_scales(model, variables, batches, **apply_kwargs):
+    """Run ``batches`` through ``model`` and return the calibrated
+    ``quant`` collection (running max over all batches).
+
+    ``variables``: the usual {"params": ..., "batch_stats": ...} trees.
+    ``batches``: iterable of model inputs (e.g. warped f32 crop batches).
+    Extra ``apply_kwargs`` are forwarded to ``model.apply`` (e.g.
+    ``train=False``).
+    """
+    quant = None
+    for x in batches:
+        vs = dict(variables)
+        if quant is not None:
+            vs["quant"] = quant
+        _, upd = model.apply(vs, x, mutable=["quant"], **apply_kwargs)
+        quant = upd["quant"]
+    if quant is None:
+        raise ValueError("calibrate_act_scales: got no batches")
+    return quant

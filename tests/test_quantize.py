@@ -90,3 +90,43 @@ def _leaf_paths(tree, prefix=()):
     else:
         out.append(prefix)
     return out
+
+
+def test_static_ptq_calibration_matches_dynamic(rng):
+    """Calibrated static activation scales (utils/calibrate.py) must keep
+    the quantized model's outputs close to the dynamic-quantization path,
+    and init must NOT create a quant collection (uncalibrated scales of
+    zero would clip everything)."""
+    import dataclasses
+
+    import jax
+
+    from satellite_pose_estimation_tpu.models.detr import (
+        DETRConfig,
+        DETRKeypointModel,
+    )
+    from satellite_pose_estimation_tpu.utils.calibrate import (
+        calibrate_act_scales,
+    )
+
+    cfg = DETRConfig(backbone="resnet18", hidden_dim=32, nheads=4,
+                     enc_layers=2, dec_layers=2, dim_feedforward=64,
+                     num_queries=16, dropout=0.0, quantize_int8=True)
+    model = DETRKeypointModel(cfg)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    assert "quant" not in variables
+
+    calib = [jnp.asarray(rng.randn(2, 64, 64, 3), jnp.float32)
+             for _ in range(3)]
+    quant = calibrate_act_scales(model, variables, calib, train=False)
+    amaxes = np.asarray(
+        [v for v in jax.tree.leaves(quant)], dtype=np.float64
+    )
+    assert (amaxes > 0).all()
+
+    out_dyn = model.apply(variables, x, train=False)
+    out_static = model.apply({**variables, "quant": quant}, x, train=False)
+    d = np.abs(np.asarray(out_static["pred_points"]) -
+               np.asarray(out_dyn["pred_points"]))
+    assert np.median(d) < 0.05, np.median(d)
