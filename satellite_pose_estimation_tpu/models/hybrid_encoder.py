@@ -36,7 +36,13 @@ class ConvNormLayer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = (self.kernel - 1) // 2 if self.padding is None else self.padding
-        x = nn.Conv(
+        from ..ops.quantize import quantization_active
+
+        if quantization_active() and not train:
+            from .layers import QConv as Conv
+        else:
+            Conv = nn.Conv
+        x = Conv(
             self.ch_out,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),

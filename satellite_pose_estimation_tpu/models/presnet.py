@@ -47,7 +47,13 @@ class ConvNorm(nn.Module):
             x = SpaceToDepthStem(self.ch_out, self.kernel,
                                  dtype=self.dtype, name="conv")(x)
         else:
-            x = nn.Conv(
+            from ..ops.quantize import quantization_active
+
+            if quantization_active() and not train:
+                from .layers import QConv as Conv
+            else:
+                Conv = nn.Conv
+            x = Conv(
                 self.ch_out,
                 (self.kernel, self.kernel),
                 strides=(self.stride, self.stride),

@@ -16,8 +16,33 @@ model-level keypoint drift) and the synthetic-selfcheck A/B.
 """
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
+
 import jax
 import jax.numpy as jnp
+
+_qstate = threading.local()
+
+
+@contextmanager
+def quantized_inference():
+    """Trace-time context: conv/norm wrappers (PResNet ConvNorm, hybrid
+    encoder ConvNormLayer) route their eval-path convolutions through the
+    int8 QConv while a model is TRACED inside this context — the
+    non-invasive deployment toggle for composite models whose configs have
+    no quantize flag (the DETR flagship instead uses its explicit
+    ``quantize_int8`` config). Training passes are never quantized."""
+    prev = getattr(_qstate, "on", False)
+    _qstate.on = True
+    try:
+        yield
+    finally:
+        _qstate.on = prev
+
+
+def quantization_active() -> bool:
+    return getattr(_qstate, "on", False)
 
 
 def _act_quantize(x, act_scale=None):
