@@ -131,31 +131,46 @@ def main():
         baseline = 125.0
     else:
         solver_kind = "sigma" if arch == "rtdetr" else "simple"
-        quant = None
-        if os.environ.get("BENCH_INT8") == "static":
-            from satellite_pose_estimation_tpu.ops.image_warp import (
-                crop_resize_cubic_mxu as crop_resize_cubic,
-            )
-            from satellite_pose_estimation_tpu.utils.calibrate import (
-                calibrate_act_scales,
-            )
+        # int8 modes: DETR quantizes via its config flag; RT-DETR via the
+        # trace-time quantized_inference() context (active during calibration
+        # and the first -- tracing -- eval_step call).
+        import contextlib
 
-            warp = jax.jit(jax.vmap(
-                lambda img, bb: crop_resize_cubic(img, bb, input_size, True)
-            ))
-            calib_imgs = [
-                warp(pool[i]["image"], pool[i]["clip_bbox_buf"])
-                for i in range(2)
-            ]
-            variables = {"params": state.params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-            quant = calibrate_act_scales(
-                model, variables, calib_imgs, train=False
+        int8_mode = os.environ.get("BENCH_INT8", "0")
+        if arch == "rtdetr" and int8_mode in ("1", "static"):
+            from satellite_pose_estimation_tpu.ops.quantize import (
+                quantized_inference as qctx,
             )
-        eval_step = make_eval_step(out_size=input_size, solver=solver_kind,
-                                   quant=quant)
-        res = eval_step(state, batch)
+        else:
+            qctx = contextlib.nullcontext
+        quant = None
+        with qctx():
+            if int8_mode == "static":
+                from satellite_pose_estimation_tpu.ops.image_warp import (
+                    crop_resize_cubic_mxu as crop_resize_cubic,
+                )
+                from satellite_pose_estimation_tpu.utils.calibrate import (
+                    calibrate_act_scales,
+                )
+
+                warp = jax.jit(jax.vmap(
+                    lambda img, bb: crop_resize_cubic(
+                        img, bb, input_size, True)
+                ))
+                calib_imgs = [
+                    warp(pool[i]["image"], pool[i]["clip_bbox_buf"])
+                    for i in range(2)
+                ]
+                variables = {"params": state.params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                quant = calibrate_act_scales(
+                    model, variables, calib_imgs, train=False
+                )
+            eval_step = make_eval_step(
+                out_size=input_size, solver=solver_kind, quant=quant
+            )
+            res = eval_step(state, batch)
         jax.block_until_ready(res)
         t0 = time.perf_counter()
         outs = []
