@@ -113,8 +113,9 @@ def get_activation(name: str) -> Callable:
     }[name]
 
 
-def _act_scale_or_calibrate(mod: nn.Module, x):
-    """Static-PTQ hook shared by QConv/QDense.
+def _act_scale_or_calibrate(mod: nn.Module, x, name: str = "act_amax"):
+    """Static-PTQ hook shared by QConv/QDense (and the quantized attention
+    core, which tracks one scale per q/k/v tensor via ``name``).
 
     Three modes, decided structurally (trace-time) from the ``quant``
     variable collection:
@@ -127,14 +128,14 @@ def _act_scale_or_calibrate(mod: nn.Module, x):
     * uncalibrated (no ``quant`` in variables): return None -> dynamic.
     """
     if mod.is_mutable_collection("quant") and not mod.is_initializing():
-        amax = mod.variable("quant", "act_amax",
+        amax = mod.variable("quant", name,
                             lambda: jnp.zeros((), jnp.float32))
         amax.value = jnp.maximum(
             amax.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
         )
         return None
-    if mod.has_variable("quant", "act_amax"):
-        val = mod.get_variable("quant", "act_amax")
+    if mod.has_variable("quant", name):
+        val = mod.get_variable("quant", name)
         return jnp.maximum(val, 1e-8) / 127.0
     return None
 

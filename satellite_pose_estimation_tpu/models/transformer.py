@@ -36,6 +36,7 @@ class _Attention(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
     impl: str = "fused"  # fused | xla | flash
+    quant: bool = False  # int8 attention core (eval deployment option)
 
     @nn.compact
     def __call__(self, q, k, v, deterministic: bool = True):
@@ -55,7 +56,19 @@ class _Attention(nn.Module):
             # Tiny sequences (decoder queries, AIFI levels): per-(b,h)
             # kernel-launch overhead beats any score-traffic savings.
             impl = "xla"
-        if impl == "fused":
+        if self.quant and not needs_dropout:
+            # int8 deployment core: exact-int32 QK^T, f32 softmax, and an
+            # int8 x int8 AV matmul whose T-deep contraction runs at the
+            # MXU's 2x int8 rate (ops/quantize.int8_attention_core).
+            from .layers import _act_scale_or_calibrate
+            from ..ops.quantize import int8_attention_core
+
+            scales = tuple(
+                _act_scale_or_calibrate(self, t, f"amax_{n}")
+                for n, t in (("q", qh), ("k", kh), ("v", vh))
+            )
+            out = int8_attention_core(qh, kh, vh, sm_scale, scales)
+        elif impl == "fused":
             from ..ops.fused_attention import fused_self_attention
 
             out = fused_self_attention(qh, kh, vh, sm_scale)
@@ -104,7 +117,7 @@ class EncoderLayer(nn.Module):
             return _Attention(self.d_model, self.nhead, self.dropout,
                               self.dtype,
                               impl="flash" if self.use_flash else "fused",
-                              name="self_attn")(
+                              quant=self.quant, name="self_attn")(
                 q, k, x_qk_src, deterministic)
 
         def ffn(x):

@@ -88,6 +88,39 @@ def int8_matmul(x, kernel, out_dtype=None, act_scale=None):
     return (y.astype(jnp.float32) * (xs * ws)).astype(out_dtype)
 
 
+def int8_attention_core(qh, kh, vh, sm_scale, act_scales=(None, None, None)):
+    """softmax(q @ k^T * sm_scale) @ v with both matmuls on the int8 MXU.
+
+    ``qh/kh/vh``: (B, H, T, D) head tensors. ``act_scales``: optional
+    calibrated per-tensor scales for q/k/v (None -> dynamic max).
+
+    Numerics: the (T, T) score matmul accumulates in int32 (exact given the
+    int8 inputs), is rescaled to f32, and softmax runs in f32. The
+    probabilities are quantized with the FIXED scale 1/127 (softmax output
+    is bounded in [0, 1] — no reduction needed), so the AV matmul runs
+    int8 x int8 with its full T-deep contraction on the int8 MXU. Error vs
+    the bf16 core is dominated by the +-0.5/127 probability rounding,
+    bounded by tests/test_quantize.py and the PTQ selfcheck A/B.
+    """
+    sq, sk, sv = act_scales
+    qq, qs = _act_quantize(qh, sq)
+    kq, ks = _act_quantize(kh, sk)
+    vq, vs = _act_quantize(vh, sv)
+    s = jax.lax.dot_general(
+        qq, kq, (((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32,
+    )  # (B, H, Tq, Tk) int32, exact
+    p = jax.nn.softmax(
+        s.astype(jnp.float32) * (qs * ks * sm_scale), axis=-1
+    )
+    pq = jnp.round(p * 127.0).astype(jnp.int8)  # fixed scale: p in [0, 1]
+    o = jax.lax.dot_general(
+        pq, vq, (((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32,
+    )  # (B, H, Tq, D)
+    return (o.astype(jnp.float32) * (vs / 127.0)).astype(qh.dtype)
+
+
 def int8_conv(x, kernel, strides=(1, 1), padding="SAME", out_dtype=None,
               act_scale=None):
     """NHWC x (B,H,W,Cin), HWIO kernel -> int8 convolution with float

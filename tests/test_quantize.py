@@ -174,3 +174,40 @@ def test_rtdetr_quantized_inference_context(rng):
     d_f = np.abs(np.asarray(out_s["pred_points"]) -
                  np.asarray(out["pred_points"]))
     assert np.median(d_f) < 0.3, np.median(d_f)
+
+
+def test_int8_attention_core_error_bound(rng):
+    """int8 QK^T + fixed-scale-softmax AV vs the f32 attention core.
+
+    The probability matmul uses the FIXED scale 1/127 (softmax output is
+    in [0, 1]) so error is dominated by +-0.5/127 rounding of the
+    probabilities. Note the output RMS itself is small (~1/sqrt(T_eff) of
+    the value RMS — softmax averages T near-iid values), which inflates
+    the normalized bound here; at the model level the observed drift on
+    pred_points is ~0.003 (test_quantized_detr... covers that).
+    """
+    import jax
+    from satellite_pose_estimation_tpu.ops.quantize import (
+        int8_attention_core,
+    )
+
+    B, H, T, D = 2, 4, 49, 16
+    q = jnp.asarray(rng.randn(B, H, T, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, H, T, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, H, T, D), jnp.float32)
+    sm = 1.0 / np.sqrt(D)
+    ref = np.asarray(
+        jax.nn.softmax((q @ jnp.swapaxes(k, -1, -2)) * sm, -1) @ v
+    )
+    out = np.asarray(int8_attention_core(q, k, v, sm))
+    err = np.abs(out - ref)
+    rms = np.sqrt((ref ** 2).mean())
+    assert np.median(err) / rms < 0.08, np.median(err) / rms
+    assert err.max() / rms < 0.5, err.max() / rms
+
+    # calibrated static scales (per-tensor amax) must match dynamic
+    scales = tuple(
+        jnp.max(jnp.abs(t)) / 127.0 for t in (q, k, v)
+    )
+    out_s = np.asarray(int8_attention_core(q, k, v, sm, scales))
+    np.testing.assert_allclose(out_s, out, atol=1e-5)
