@@ -156,6 +156,8 @@ class HybridEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
+        from ..ops.quantize import quantization_active
+
         assert len(feats) == len(self.in_channels)
         proj = []
         for i, feat in enumerate(feats):
@@ -177,6 +179,7 @@ class HybridEncoder(nn.Module):
                 mem = EncoderLayer(
                     self.hidden_dim, self.nhead, self.dim_feedforward,
                     self.dropout, self.enc_act, False, self.dtype,
+                    quant=quantization_active() and not train,
                     name=f"encoder_{i}_layer_{l}",
                 )(mem, pos, deterministic=not train)
             proj[enc_ind] = mem.reshape(b, h, w, c)
@@ -229,6 +232,8 @@ class HybridEncoderModify(HybridEncoder):
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
+        from ..ops.quantize import quantization_active
+
         assert len(feats) == len(self.in_channels)
         proj = []
         for i, feat in enumerate(feats):
@@ -255,6 +260,7 @@ class HybridEncoderModify(HybridEncoder):
             mem = EncoderLayer(
                 self.hidden_dim, self.nhead, self.dim_feedforward,
                 self.dropout, self.enc_act, False, self.dtype,
+                quant=quantization_active() and not train,
                 name=f"encoder_0_layer_{l}",
             )(mem, pos, deterministic=not train)
         p2 = mem.reshape(b, hm, wm, c)

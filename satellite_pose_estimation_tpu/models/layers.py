@@ -179,6 +179,54 @@ class QConv(nn.Module):
         return y
 
 
+class QDenseGeneral(nn.Module):
+    """Drop-in nn.DenseGeneral replacement on the int8 MXU path for the two
+    contracts the attention block uses: ``features=(H, D), axis=-1``
+    (q/k/v in-projection, kernel (in, H, D)) and ``features=d,
+    axis=(-2, -1)`` (out-projection, kernel (H, D, d)). Parameter shapes
+    and init statistics match flax DenseGeneral (kernel drawn as the
+    flattened 2-D lecun_normal matrix, then reshaped), so checkpoints are
+    interchangeable with the float model."""
+
+    features: Any
+    axis: Any = -1
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import numpy as np
+
+        from ..ops.quantize import int8_matmul
+
+        feats = (self.features if isinstance(self.features, tuple)
+                 else (self.features,))
+        axes = self.axis if isinstance(self.axis, tuple) else (self.axis,)
+        assert all(a < 0 for a in axes) and list(axes) == sorted(axes), (
+            "QDenseGeneral supports trailing contraction axes only"
+        )
+        in_shape = x.shape[-len(axes):]
+        n_in = int(np.prod(in_shape))
+        n_out = int(np.prod(feats))
+
+        def kernel_init(key, shape, dtype=jnp.float32):
+            flat = nn.initializers.lecun_normal()(key, (n_in, n_out), dtype)
+            return flat.reshape(shape)
+
+        kernel = self.param("kernel", kernel_init, in_shape + feats)
+        lead = x.shape[: x.ndim - len(axes)]
+        y = int8_matmul(
+            x.reshape(-1, n_in), kernel.reshape(n_in, n_out),
+            out_dtype=self.dtype,
+            act_scale=_act_scale_or_calibrate(self, x),
+        )
+        y = y.reshape(*lead, *feats)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, feats)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class QDense(nn.Module):
     """Drop-in nn.Dense replacement on the int8 MXU path (same parameter
     contract: kernel (in, out) + bias)."""

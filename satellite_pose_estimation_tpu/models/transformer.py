@@ -42,7 +42,10 @@ class _Attention(nn.Module):
     def __call__(self, q, k, v, deterministic: bool = True):
         head_dim = self.d_model // self.nhead
         sm_scale = 1.0 / (head_dim ** 0.5)
-        proj = lambda name, x: nn.DenseGeneral(
+        from .layers import QDenseGeneral
+
+        DG = QDenseGeneral if self.quant else nn.DenseGeneral
+        proj = lambda name, x: DG(
             features=(self.nhead, head_dim), dtype=self.dtype,
             name=f"mha_{name}",
         )(x)
@@ -88,7 +91,7 @@ class _Attention(nn.Module):
             out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(vh.dtype), vh)
 
         out = out.transpose(0, 2, 1, 3)  # (B, T, H, D)
-        return nn.DenseGeneral(
+        return DG(
             features=self.d_model, axis=(-2, -1), dtype=self.dtype,
             name="mha_out",
         )(out)
@@ -153,30 +156,38 @@ class DecoderLayer(nn.Module):
     activation: str = "relu"
     normalize_before: bool = False
     dtype: Any = jnp.float32
+    quant: bool = False  # int8 projections/FFN (eval deployment option)
 
     @nn.compact
     def __call__(self, tgt, memory, pos, query_pos, deterministic: bool = True):
+        from .layers import QDense
+
+        Dense = QDense if self.quant else nn.Dense
         act = {"relu": nn.relu, "gelu": nn.gelu}[self.activation]
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
         # Decoder sequences are tiny (num_queries=20): per-(b,h) kernel
         # launches would dominate — plain XLA attention is faster here.
+        # Under quant the K/V projections of the 784-token memory (the
+        # decoder's main cost) run int8.
         def sa(x):
             q = k = x + query_pos
             return _Attention(self.d_model, self.nhead, self.dropout,
-                              self.dtype, impl="xla", name="self_attn")(
+                              self.dtype, impl="xla", quant=self.quant,
+                              name="self_attn")(
                 q, k, x, deterministic)
 
         def ca(x):
             return _Attention(self.d_model, self.nhead, self.dropout,
-                              self.dtype, impl="xla", name="cross_attn")(
+                              self.dtype, impl="xla", quant=self.quant,
+                              name="cross_attn")(
                 x + query_pos, memory + pos, memory, deterministic)
 
         def ffn(x):
-            x = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
+            x = Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
             x = act(x)
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-            return nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(x)
+            return Dense(self.d_model, dtype=self.dtype, name="linear2")(x)
 
         if self.normalize_before:
             tgt2 = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
@@ -241,7 +252,7 @@ class Transformer(nn.Module):
             tgt = DecoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
                 self.activation, self.normalize_before, self.dtype,
-                name=f"decoder_layer_{i}",
+                self.quant, name=f"decoder_layer_{i}",
             )(tgt, mem, pos, query_pos, deterministic)
             intermediates.append(final_norm(tgt))
 

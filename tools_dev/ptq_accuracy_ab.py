@@ -1,0 +1,130 @@
+"""PTQ accuracy A/B on a TRAINED RT-DETR selfcheck checkpoint.
+
+Loads the long-run checkpoint (synthetic_selfcheck recipe: r18 @128,
+hidden 64, 800 images / 120 epochs) and evaluates the val split twice:
+
+* bf16/f32 reference path (exactly what training validated), and
+* static-PTQ int8 (quantized_inference() + calibrate_act_scales), i.e.
+  the BENCH_INT8=static deployment path WITH the int8 attention core and
+  QDenseGeneral projections.
+
+Prints both SPEED scores; the drift is the deployment accuracy evidence
+for PERF.md. Run on CPU (accuracy only — throughput is bench.py's job):
+
+    python tools_dev/ptq_accuracy_ab.py --root /tmp/synth_long \
+        --ckpt /tmp/synth_long/out/checkpoint_best
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+
+def build_solver(root, out, resize, batch):
+    from satellite_pose_estimation_tpu.core.yaml_config import YAMLConfig
+    from satellite_pose_estimation_tpu.train.solver import SpeedSolver
+
+    # Mirror tools/synthetic_selfcheck.py main() exactly — the checkpoint
+    # must load onto an identical state tree.
+    cfg = YAMLConfig(cfg={
+        "task": "landmarker",
+        "model": "RTDETR",
+        "num_classes": 11,
+        "epoches": 1,
+        "checkpoint_step": 10000,
+        "log_step": 5,
+        "compute_dtype": "float32",
+        "PResNet": {"depth": 18, "freeze_norm": False},
+        "HybridEncoder": {"hidden_dim": 64, "nhead": 4,
+                          "dim_feedforward": 128, "expansion": 0.5},
+        "RTDETRTransformer": {"num_queries": 30, "num_decoder_layers": 3},
+        "SetCriterion": {
+            "losses": ["labels", "points_uncert"],
+            "weight_dict": {"loss_ce": 1, "loss_bbox": 5},
+            "matcher": {"weight_dict": {"cost_class": 2, "cost_bbox": 5}},
+        },
+        "optimizer": {"lr": 3e-4},
+        "lr_scheduler": {"milestones": [10000]},
+        "train_dataloader": {
+            "batch_size": batch,
+            "dataset": {"index_file": "train_s.txt", "resize": resize},
+        },
+        "val_dataloader": {
+            "batch_size": batch,
+            "dataset": {"index_file": "val_s.txt", "resize": resize,
+                        "train": False},
+        },
+        "output_dir": out,
+    })
+    return SpeedSolver(cfg, data_root=root, seed=0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/synth_long")
+    ap.add_argument("--ckpt", default="/tmp/synth_long/out/checkpoint_best")
+    ap.add_argument("--resize", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=24)
+    args = ap.parse_args()
+
+    from satellite_pose_estimation_tpu.ops.image_warp import (
+        crop_resize_cubic_mxu,
+    )
+    from satellite_pose_estimation_tpu.ops.quantize import quantized_inference
+    from satellite_pose_estimation_tpu.train.steps import (
+        SolverConfig,
+        make_eval_step,
+    )
+    from satellite_pose_estimation_tpu.utils.calibrate import (
+        calibrate_act_scales,
+    )
+
+    solver = build_solver(args.root, os.path.dirname(args.ckpt), args.resize,
+                          args.batch)
+    solver.resume(args.ckpt)
+    solver._build()
+
+    print("== arm A: float reference path ==")
+    stats_f = solver.evaluate(epoch=-1)
+
+    print("== arm B: static-PTQ int8 deployment path ==")
+    with quantized_inference():
+        calib = []
+        for i, batch in enumerate(solver.val_ds.batches(
+                args.batch, shuffle=False, drop_last=False, pad_last=True)):
+            if i >= 2:
+                break
+            img = jnp.asarray(batch["image"])
+            bb = jnp.asarray(batch["clip_bbox_buf"])
+            warp = jax.vmap(
+                lambda im, b: crop_resize_cubic_mxu(im, b, args.resize, True)
+            )
+            calib.append(warp(img, bb))
+        variables = {"params": solver.state.params}
+        if solver.state.batch_stats:
+            variables["batch_stats"] = solver.state.batch_stats
+        quant = calibrate_act_scales(solver.model, variables, calib,
+                                     train=False)
+        solver.eval_step = make_eval_step(
+            solver_cfg=SolverConfig(input_size=args.resize),
+            out_size=args.resize,
+            solver="sigma",
+            use_ema=solver.train_cfg.use_ema,
+            quant=quant,
+        )
+        stats_q = solver.evaluate(epoch=-2)
+
+    sf, sq = stats_f[0]["score"], stats_q[0]["score"]
+    print(f"float score {sf:.4f}  int8-static score {sq:.4f}  "
+          f"drift {sq - sf:+.4f}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
