@@ -64,10 +64,14 @@ def main():
             dtype=compute_dtype,
         )
         model = DETRKeypointModel(cfg)
+    # Init at batch 2: parameter shapes are batch-independent, and a
+    # batch-256 init program would peak ~5 GB (dynamic-int8 attention
+    # materializes int32 scores) while the batch pool is being staged —
+    # enough to OOM the chip before timing even starts.
     state = create_train_state(
         model,
         jax.random.PRNGKey(0),
-        jnp.zeros((batch_size, input_size, input_size, 3), jnp.float32),
+        jnp.zeros((2, input_size, input_size, 3), jnp.float32),
         TrainConfig(),
     )
 

@@ -36,15 +36,22 @@ class _Attention(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
     impl: str = "fused"  # fused | xla | flash
-    quant: bool = False  # int8 attention core (eval deployment option)
+    quant: bool = False  # int8 q/k/v/out projections (eval deployment)
+    quant_core: bool = False  # ALSO run QK^T/AV int8 — measured a NET
+    # LOSS end-to-end (1883 vs 2818 img/s static-PTQ @224 batch 256): the
+    # int32 score tensor doubles HBM score traffic and the D=32 QK^T
+    # contraction gains nothing from the int8 MXU. Kept as an option; off
+    # on the deployment path (PERF.md).
 
     @nn.compact
     def __call__(self, q, k, v, deterministic: bool = True):
         head_dim = self.d_model // self.nhead
         sm_scale = 1.0 / (head_dim ** 0.5)
+        from ..ops.quantize import quant_scope
         from .layers import QDenseGeneral
 
-        DG = QDenseGeneral if self.quant else nn.DenseGeneral
+        DG = (QDenseGeneral if self.quant and quant_scope("attn_proj")
+              else nn.DenseGeneral)
         proj = lambda name, x: DG(
             features=(self.nhead, head_dim), dtype=self.dtype,
             name=f"mha_{name}",
@@ -59,7 +66,7 @@ class _Attention(nn.Module):
             # Tiny sequences (decoder queries, AIFI levels): per-(b,h)
             # kernel-launch overhead beats any score-traffic savings.
             impl = "xla"
-        if self.quant and not needs_dropout:
+        if self.quant and self.quant_core and not needs_dropout:
             # int8 deployment core: exact-int32 QK^T, f32 softmax, and an
             # int8 x int8 AV matmul whose T-deep contraction runs at the
             # MXU's 2x int8 rate (ops/quantize.int8_attention_core).
@@ -110,9 +117,11 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, src, pos, deterministic: bool = True):
+        from ..ops.quantize import quant_scope
         from .layers import QDense
 
-        Dense = QDense if self.quant else nn.Dense
+        Dense = (QDense if self.quant and quant_scope("ffn")
+                 else nn.Dense)
         act = {"relu": nn.relu, "gelu": nn.gelu}[self.activation]
 
         def sa(x_qk_src):
@@ -227,6 +236,8 @@ class Transformer(nn.Module):
 
     @nn.compact
     def __call__(self, src, query_embed, pos_embed, deterministic: bool = True):
+        from ..ops.quantize import quant_scope
+
         b, h, w, c = src.shape
         src = src.reshape(b, h * w, c)
         pos = pos_embed.reshape(1, h * w, c).astype(self.dtype)
@@ -252,7 +263,8 @@ class Transformer(nn.Module):
             tgt = DecoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
                 self.activation, self.normalize_before, self.dtype,
-                self.quant, name=f"decoder_layer_{i}",
+                self.quant and quant_scope("dec"),
+                name=f"decoder_layer_{i}",
             )(tgt, mem, pos, query_pos, deterministic)
             intermediates.append(final_norm(tgt))
 

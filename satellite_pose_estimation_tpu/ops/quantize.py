@@ -45,6 +45,19 @@ def quantization_active() -> bool:
     return getattr(_qstate, "on", False)
 
 
+def quant_scope(name: str) -> bool:
+    """Trace-time filter for which op families run int8 under the quant
+    toggles: ``conv`` (backbone/encoder convs), ``ffn`` (transformer
+    FFNs), ``attn_proj`` (q/k/v/out projections), ``dec`` (DETR decoder).
+    ``SPE_INT8_SCOPE`` (comma list, default ``conv,ffn``) selects the
+    deployment preset; the default is the measured-fastest set (PERF.md:
+    attn_proj/dec measured a net LOSS at batch 256 @224 on v5e)."""
+    import os
+
+    scope = os.environ.get("SPE_INT8_SCOPE", "conv,ffn")
+    return name in {s.strip() for s in scope.split(",")}
+
+
 def _act_quantize(x, act_scale=None):
     """Per-tensor symmetric quantization. Returns (int8, scale).
 
@@ -94,13 +107,16 @@ def int8_attention_core(qh, kh, vh, sm_scale, act_scales=(None, None, None)):
     ``qh/kh/vh``: (B, H, T, D) head tensors. ``act_scales``: optional
     calibrated per-tensor scales for q/k/v (None -> dynamic max).
 
-    Numerics: the (T, T) score matmul accumulates in int32 (exact given the
-    int8 inputs), is rescaled to f32, and softmax runs in f32. The
-    probabilities are quantized with the FIXED scale 1/127 (softmax output
-    is bounded in [0, 1] — no reduction needed), so the AV matmul runs
-    int8 x int8 with its full T-deep contraction on the int8 MXU. Error vs
-    the bf16 core is dominated by the +-0.5/127 probability rounding,
-    bounded by tests/test_quantize.py and the PTQ selfcheck A/B.
+    Numerics: the (T, T) score matmul accumulates in int32 (exact given
+    the int8 inputs) and is rescaled into the INPUT dtype for the softmax
+    — bf16 on the deployment path, the same score precision the float
+    core uses (materializing int32+f32 score tensors instead costs ~10 GB
+    at batch 256 / T=784 and OOMs a v5e chip). The probabilities are
+    quantized with the FIXED scale 1/127 (softmax output is bounded in
+    [0, 1] — no reduction needed), so the AV matmul runs int8 x int8 with
+    its full T-deep contraction on the int8 MXU. Error vs the bf16 core
+    is dominated by the +-0.5/127 probability rounding, bounded by
+    tests/test_quantize.py and the PTQ selfcheck A/B.
     """
     sq, sk, sv = act_scales
     qq, qs = _act_quantize(qh, sq)
@@ -110,8 +126,11 @@ def int8_attention_core(qh, kh, vh, sm_scale, act_scales=(None, None, None)):
         qq, kq, (((3,), (3,)), ((0, 1), (0, 1))),
         preferred_element_type=jnp.int32,
     )  # (B, H, Tq, Tk) int32, exact
+    # rescale fuses into the dot epilogue; only a qh.dtype score tensor is
+    # materialized (softmax internals fuse on top of it)
     p = jax.nn.softmax(
-        s.astype(jnp.float32) * (qs * ks * sm_scale), axis=-1
+        (s.astype(jnp.float32) * (qs * ks * sm_scale)).astype(qh.dtype),
+        axis=-1,
     )
     pq = jnp.round(p * 127.0).astype(jnp.int8)  # fixed scale: p in [0, 1]
     o = jax.lax.dot_general(

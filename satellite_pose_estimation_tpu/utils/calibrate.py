@@ -11,6 +11,8 @@ per-batch max reduction with a constant scale.
 """
 from __future__ import annotations
 
+import jax
+
 
 def calibrate_act_scales(model, variables, batches, **apply_kwargs):
     """Run ``batches`` through ``model`` and return the calibrated
@@ -20,14 +22,26 @@ def calibrate_act_scales(model, variables, batches, **apply_kwargs):
     ``batches``: iterable of model inputs (e.g. warped f32 crop batches).
     Extra ``apply_kwargs`` are forwarded to ``model.apply`` (e.g.
     ``train=False``).
+
+    The pass runs under jit: eager op-by-op execution would materialize
+    every attention intermediate (an f32 (B, H, T, T) score tensor is
+    ~10 GB at batch 256 / T=784 — more HBM than the chip has), while the
+    compiled program fuses them away. Two traces happen (without / with
+    an existing ``quant`` collection); both reuse the model's weights.
     """
+
+    @jax.jit
+    def step(vs, x):
+        return model.apply(vs, x, mutable=["quant"], **apply_kwargs)[1][
+            "quant"
+        ]
+
     quant = None
     for x in batches:
         vs = dict(variables)
         if quant is not None:
             vs["quant"] = quant
-        _, upd = model.apply(vs, x, mutable=["quant"], **apply_kwargs)
-        quant = upd["quant"]
+        quant = step(vs, x)
     if quant is None:
         raise ValueError("calibrate_act_scales: got no batches")
     return quant
