@@ -20,6 +20,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The A/B documents the WIDEST int8 scope (PERF.md); the deployment
+# default (quant_scope) is narrower for speed, not accuracy.
+os.environ.setdefault("SPE_INT8_SCOPE", "conv,ffn,attn_proj,dec")
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
@@ -66,8 +70,32 @@ def build_solver(root, out, resize, batch):
     return SpeedSolver(cfg, data_root=root, seed=0)
 
 
+def build_detr_solver(root, resize, batch):
+    """R1 flagship arch (mirrors the synth_detr3 training command)."""
+    from satellite_pose_estimation_tpu.tools.main import (
+        args_to_config,
+        get_args_parser,
+    )
+    from satellite_pose_estimation_tpu.train.solver import SpeedSolver
+
+    p = argparse.ArgumentParser(parents=[get_args_parser()])
+    a = p.parse_args([
+        "--data_root", root,
+        "--train_index_file", "train_s.txt",
+        "--val_index_file", "val_s.txt",
+        "--backbone", "resnet50s8",
+        "--enc_layers", "4", "--dec_layers", "4",
+        "--num_queries", "20", "--input_size", str(resize),
+        "--batch_size", str(batch), "--dropout", "0.0",
+        "--bn", "bn", "--compute_dtype", "bfloat16",
+    ])
+    cfg = args_to_config(a)
+    return SpeedSolver(cfg, data_root=root, seed=0)
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", choices=("rtdetr", "detr"), default="rtdetr")
     ap.add_argument("--root", default="/tmp/synth_long")
     ap.add_argument("--ckpt", default="/tmp/synth_long/out/checkpoint_best")
     ap.add_argument("--resize", type=int, default=128)
@@ -86,14 +114,33 @@ def main():
         calibrate_act_scales,
     )
 
-    solver = build_solver(args.root, os.path.dirname(args.ckpt), args.resize,
-                          args.batch)
+    if args.arch == "detr":
+        solver = build_detr_solver(args.root, args.resize, args.batch)
+    else:
+        solver = build_solver(args.root, os.path.dirname(args.ckpt),
+                              args.resize, args.batch)
     solver.resume(args.ckpt)
     solver._build()
+
+    if args.arch == "detr":
+        # DETR quantizes via its explicit config flag: swap the state's
+        # apply_fn for the (param-compatible) quantized twin at arm B.
+        import dataclasses
+
+        from satellite_pose_estimation_tpu.models.detr import (
+            DETRKeypointModel,
+        )
+
+        model_q = DETRKeypointModel(
+            dataclasses.replace(solver.model.config, quantize_int8=True)
+        )
 
     print("== arm A: float reference path ==")
     stats_f = solver.evaluate(epoch=-1)
 
+    if args.arch == "detr":
+        solver.model = model_q
+        solver.state = solver.state.replace(apply_fn=model_q.apply)
     print("== arm B: static-PTQ int8 deployment path ==")
     with quantized_inference():
         calib = []
@@ -112,10 +159,12 @@ def main():
             variables["batch_stats"] = solver.state.batch_stats
         quant = calibrate_act_scales(solver.model, variables, calib,
                                      train=False)
+        solver_kind = ("sigma" if solver.criterion_cfg.point_loss == "uncert"
+                       else "simple")
         solver.eval_step = make_eval_step(
             solver_cfg=SolverConfig(input_size=args.resize),
             out_size=args.resize,
-            solver="sigma",
+            solver=solver_kind,
             use_ema=solver.train_cfg.use_ema,
             quant=quant,
         )
