@@ -241,3 +241,16 @@ def test_int8_attention_core_error_bound(rng):
     )
     out_s = np.asarray(int8_attention_core(q, k, v, sm, scales))
     np.testing.assert_allclose(out_s, out, atol=1e-5)
+
+
+def test_quant_scope_env(monkeypatch):
+    """quant_scope: deployment default is the measured-fastest preset
+    (conv,ffn — PERF.md ablation); SPE_INT8_SCOPE widens/narrows it."""
+    from satellite_pose_estimation_tpu.ops.quantize import quant_scope
+
+    monkeypatch.delenv("SPE_INT8_SCOPE", raising=False)
+    assert quant_scope("conv") and quant_scope("ffn")
+    assert not quant_scope("attn_proj") and not quant_scope("dec")
+    monkeypatch.setenv("SPE_INT8_SCOPE", "conv , dec")
+    assert quant_scope("dec") and quant_scope("conv")
+    assert not quant_scope("ffn")
