@@ -184,3 +184,39 @@ def test_r2_format_config_compat(tmp_path):
     assert model.config.num_decoder_layers == 3
     assert cfg.criterion_config().point_loss == "uncert"
     assert cfg.train_config().lr_backbone == pytest.approx(3e-5)
+
+
+def test_batches_prefetch_equivalence(tmp_path, rng):
+    """Prefetched iteration must yield exactly the batches the synchronous
+    path yields (same order, same contents), and propagate loader errors."""
+    from satellite_pose_estimation_tpu.data.dataset import SpeedTrainDataset
+
+    root = make_fake_speed(str(tmp_path), n_images=8, rng=rng)
+
+    def make_ds():
+        return SpeedTrainDataset(
+            root, ann_file="wz_train.json", index_file="train_t.txt",
+            img_dir="images/train", resize=64, train=True, seed=3,
+        )
+
+    # fresh datasets: the shuffle rng advances per epoch
+    sync = list(make_ds().batches(2, pad_last=True, drop_last=False,
+                                  prefetch=0))
+    pre = list(make_ds().batches(2, pad_last=True, drop_last=False,
+                                 prefetch=2))
+    assert len(sync) == len(pre) == 3
+    for a, b in zip(sync, pre):
+        assert a.keys() == b.keys()
+        for k in a:
+            if k == "filename":
+                assert list(a[k]) == list(b[k])
+            elif k == "pad":
+                assert a[k] == b[k]
+            else:
+                np.testing.assert_array_equal(a[k], b[k])
+
+    # errors raised on the producer thread surface at the consumer
+    ds = make_ds()
+    ds.img_dir = "does/not/exist"
+    with pytest.raises(Exception):
+        list(ds.batches(2, prefetch=2))
