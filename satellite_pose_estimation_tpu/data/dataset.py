@@ -183,67 +183,10 @@ class SpeedTrainDataset:
                 batch["pad"] = pad
             return batch
 
-        if prefetch <= 0:
-            for idxs, pad in chunks:
-                yield make(idxs, pad)
-            return
-
-        import queue
-        import threading
-
-        q: queue.Queue = queue.Queue(maxsize=prefetch)
-        stop = threading.Event()
-        _done = object()
-
-        def produce():
-            for idxs, pad in chunks:
-                if stop.is_set():
-                    return
-                try:
-                    item = make(idxs, pad)
-                except BaseException as e:  # surface in the consumer
-                    item = e
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.2)
-                        break
-                    except queue.Full:
-                        continue
-                if isinstance(item, BaseException):
-                    return
-            while not stop.is_set():
-                try:
-                    q.put(_done, timeout=0.2)
-                    return
-                except queue.Full:
-                    continue
-
-        worker = threading.Thread(target=produce, daemon=True)
-        worker.start()
-        try:
-            while True:
-                item = q.get()
-                if item is _done:
-                    return
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
-        finally:
-            stop.set()
+        yield from _prefetch_iter(chunks, make, prefetch)
 
     def _load_parallel(self, idxs, workers: Optional[int] = None):
-        """Threaded JPEG decode + crop (the reference's DataLoader
-        num_workers equivalent; PIL decode releases the GIL, so this
-        scales with host cores)."""
-        import os
-        from concurrent.futures import ThreadPoolExecutor
-
-        if workers is None:
-            workers = max(4, min(16, os.cpu_count() or 1))
-        if len(idxs) <= 1:
-            return [self[int(i)] for i in idxs]
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            return list(pool.map(lambda i: self[int(i)], idxs))
+        return _load_samples(self, idxs, workers)
 
 
 class SpeedSubmissionDataset:
@@ -287,18 +230,95 @@ class SpeedSubmissionDataset:
             "filename": info["filename"],
         }
 
-    def batches(self, batch_size: int, pad_last: bool = True) -> Iterator[dict]:
+    def batches(self, batch_size: int, pad_last: bool = True,
+                prefetch: int = 2) -> Iterator[dict]:
         n = len(self)
+        chunks = []
         for start in range(0, n, batch_size):
             idxs = list(range(start, min(start + batch_size, n)))
             pad = 0
             if pad_last and len(idxs) < batch_size:
                 pad = batch_size - len(idxs)
                 idxs = idxs + [idxs[-1]] * pad
-            samples = [self[i] for i in idxs]
-            batch = _collate(samples)
+            chunks.append((idxs, pad))
+
+        def make(idxs, pad):
+            batch = _collate(_load_samples(self, idxs))
             batch["pad"] = pad
-            yield batch
+            return batch
+
+        yield from _prefetch_iter(chunks, make, prefetch)
+
+
+
+def _prefetch_iter(items, make, prefetch: int = 2):
+    """Yield ``make(*item)`` for each item, computing up to ``prefetch``
+    results ahead on a background producer thread (the reference
+    DataLoader's worker-prefetch equivalent): host JPEG decode overlaps
+    the device step instead of serializing with it. ``prefetch<=0`` is
+    the plain synchronous loop. The producer shuts down cleanly when the
+    consumer abandons the iterator; producer exceptions re-raise at the
+    consumer."""
+    if prefetch <= 0:
+        for it in items:
+            yield make(*it)
+        return
+
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+    _done = object()
+
+    def produce():
+        for it in items:
+            if stop.is_set():
+                return
+            try:
+                out = make(*it)
+            except BaseException as e:  # surface in the consumer
+                out = e
+            while not stop.is_set():
+                try:
+                    q.put(out, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+            if isinstance(out, BaseException):
+                return
+        while not stop.is_set():
+            try:
+                q.put(_done, timeout=0.2)
+                return
+            except queue.Full:
+                continue
+
+    threading.Thread(target=produce, daemon=True).start()
+    try:
+        while True:
+            item = q.get()
+            if item is _done:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+
+
+def _load_samples(ds, idxs, workers=None):
+    """Threaded JPEG decode + crop over ``ds[i]`` (PIL decode releases the
+    GIL, so this scales with host cores)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    if workers is None:
+        workers = max(4, min(16, os.cpu_count() or 1))
+    if len(idxs) <= 1:
+        return [ds[int(i)] for i in idxs]
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        return list(pool.map(lambda i: ds[int(i)], idxs))
 
 
 def _collate(samples):
