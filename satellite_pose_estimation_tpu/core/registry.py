@@ -86,5 +86,4 @@ def create(type_or_name: str, global_cfg: Optional[dict] = None, **overrides):
             kwargs[dep] = create(sub_type, sub_global)
 
     kwargs.update(overrides)
-    kwargs = {k: v for k, v in kwargs.items() if v is not None or True}
     return target(**kwargs)

@@ -105,8 +105,10 @@ def convert_params_to_deploy(params, batch_stats):
     def walk(p, s):
         if not isinstance(p, dict):
             return p
-        if "conv1" in p and "conv2" in p and "conv" in p.get("conv1", {}):
-            # looks like a RepVggBlock
+        # A RepVggBlock node has EXACTLY the two ConvNormLayer branches;
+        # CSPRepLayer also nests conv1/conv2 (+ bottlenecks_*) so keying on
+        # their mere presence would wrongly fuse whole CSP layers.
+        if set(p.keys()) == {"conv1", "conv2"} and "conv" in p["conv1"]:
             return fuse_repvgg_params(p, s)
         return {
             k: walk(v, s.get(k, {}) if isinstance(s, dict) else {})

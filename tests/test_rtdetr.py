@@ -115,6 +115,43 @@ def test_repvgg_deploy_fusion(rng):
     )
 
 
+def test_full_model_deploy_fusion(rng):
+    """convert_params_to_deploy on the WHOLE model must only fuse RepVgg
+    blocks. Regression: CSPRepLayer nodes also expose conv1/conv2 children
+    and were once wrongly collapsed by the fusion walker (the reference
+    fuses per-module by type, R2/src/zoo/rtdetr/hybrid_encoder.py:75-100)."""
+    import dataclasses
+
+    from satellite_pose_estimation_tpu.models.rtdetr import (
+        RTDETR,
+        RTDETRConfig,
+        convert_params_to_deploy,
+    )
+
+    cfg = RTDETRConfig(**TINY, freeze_norm=False)
+    model = RTDETR(cfg)
+    x = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    stats = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.rand(*a.shape) * 0.5 + 0.5, a.dtype),
+        variables["batch_stats"],
+    )
+    y_ref = model.apply(
+        {"params": variables["params"], "batch_stats": stats}, x, train=False
+    )
+
+    deploy_params = convert_params_to_deploy(variables["params"], stats)
+    deploy_model = RTDETR(dataclasses.replace(cfg, deploy=True))
+    y_dep = deploy_model.apply(
+        {"params": deploy_params, "batch_stats": stats}, x, train=False
+    )
+    for key in ("pred_logits", "pred_points", "pred_sigmas"):
+        np.testing.assert_allclose(
+            np.asarray(y_dep[key]), np.asarray(y_ref[key]), atol=1e-4,
+            err_msg=key,
+        )
+
+
 def test_rtdetr_train_step(rng):
     from satellite_pose_estimation_tpu.models.rtdetr import (
         RTDETR,
