@@ -163,6 +163,139 @@ def map_static_dicts(src_params: dict, dst_params: dict) -> dict:
     return flax.traverse_util.unflatten_dict(out)
 
 
+_R2_RTDETR_SKIP = (
+    "temper_param",            # declared on the composite but never used in
+                               # forward (R2/src/zoo/rtdetr/rtdetr.py:34)
+    "encoder.encoder_fusion_input",  # defined but never called
+                               # (R2/src/zoo/rtdetr/hybrid_encoder.py)
+    "decoder.anchors",         # eval_spatial_size buffer, regenerated here
+    "decoder.valid_mask",
+)
+
+# ordered torch-module-path -> flax-module-path rewrites, per top section
+_R2_BACKBONE_RULES = (
+    (r"^conv1\.", ""),
+    (r"^res_layers\.(\d+)\.blocks\.(\d+)\.",
+     lambda m: f"res{int(m.group(1)) + 2}_{m.group(2)}."),
+    (r"\bshort\.conv\.(conv|norm)\.", r"short_conv.\1."),
+    (r"\bshort\.(conv|norm)\.", r"short_conv.\1."),
+)
+_R2_ENCODER_RULES = (
+    (r"^input_proj\.(\d+)\.0\.", r"input_proj_\1_conv."),
+    (r"^input_proj\.(\d+)\.1\.", r"input_proj_\1_norm."),
+    (r"^encoder\.(\d+)\.layers\.(\d+)\.", r"encoder_\1_layer_\2."),
+    (r"^(lateral_convs|fpn_blocks|pan_blocks|downsample_convs)\.(\d+)\.",
+     r"\1_\2."),
+    (r"\bbottlenecks\.(\d+)\.", r"bottlenecks_\1."),
+)
+_R2_DECODER_RULES = (
+    (r"^input_proj\.(\d+)\.(conv|norm)\.", r"input_proj_\1_\2."),
+    (r"^decoder\.layers\.(\d+)\.", r"decoder_layer_\1."),
+    (r"^decoder\.sigma_embed\.(\d+)\.", r"sigma_embed_\1."),
+    (r"^(dec_bbox_head|dec_score_head)\.(\d+)\.", r"\1_\2."),
+    (r"^enc_output\.(\d+)\.", r"enc_output_\1."),
+    (r"\blayers\.(\d+)\.", r"layers_\1."),
+)
+
+
+def convert_r2_rtdetr(state_dict: Dict[str, np.ndarray], nhead: int = 8):
+    """R2 torch RTDETR (PResNet + HybridEncoder + RTDETRTransformer)
+    state_dict -> (params, batch_stats) trees matching models.rtdetr.RTDETR.
+
+    The reference composite registers its parts as ``backbone.`` /
+    ``encoder.`` / ``decoder.`` (R2/src/zoo/rtdetr/rtdetr.py:28-32); our
+    flax modules keep the same sub-module names, so conversion is a pure
+    path rewrite plus the torch->flax tensor conventions:
+
+    * conv (out,in,kh,kw) -> (kh,kw,in,out); linear (out,in) -> (in,out);
+    * BatchNorm weight/bias -> params scale/bias, running stats ->
+      batch_stats mean/var; LayerNorm weight -> scale;
+    * nn.MultiheadAttention packed in_proj (3h,h) -> per-head DenseGeneral
+      kernels (h, nhead, h//nhead) for mha_query/key/value, out_proj ->
+      mha_out (nhead, h//nhead, h) — torch concatenates heads head-major so
+      a plain reshape is exact;
+    * nn.Embedding weights (tgt_embed / denoising_class_embed) copied
+      untransposed to flax nn.Embed ``embedding`` leaves.
+
+    Forward-parity tested against the live torch reference model in
+    tests/test_rtdetr_torch_parity.py.
+    """
+    import re
+
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.asarray(value)
+
+    def rewrite(rules, dotted):
+        for pat, rep in rules:
+            dotted = re.sub(pat, rep, dotted)
+        return dotted
+
+    mha_groups: dict = {}
+    for key, val in state_dict.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        if any(key == s or key.startswith(s + ".") for s in _R2_RTDETR_SKIP):
+            continue
+        val = np.asarray(val)
+        section, rest = key.split(".", 1)
+        rules = {"backbone": _R2_BACKBONE_RULES,
+                 "encoder": _R2_ENCODER_RULES,
+                 "decoder": _R2_DECODER_RULES}[section]
+
+        if ".self_attn." in "." + rest + ".":
+            # collect the 4 tensors of each nn.MultiheadAttention
+            mod, leaf = rest.split(".self_attn.", 1)
+            mha_groups.setdefault((section, mod), {})[leaf] = val
+            continue
+
+        mod_path, leaf = rest.rsplit(".", 1)
+        flax_mod = rewrite(rules, mod_path + ".").rstrip(".")
+        path = (section, *flax_mod.split("."))
+        if leaf == "running_mean":
+            put(stats, path + ("mean",), val)
+        elif leaf == "running_var":
+            put(stats, path + ("var",), val)
+        elif leaf == "bias":
+            put(params, path + ("bias",), val)
+        elif leaf == "weight":
+            if mod_path.endswith(("tgt_embed", "denoising_class_embed")):
+                put(params, path + ("embedding",), val)
+            elif val.ndim == 4:
+                put(params, path + ("kernel",), _t2f_conv(val))
+            elif val.ndim == 2:
+                put(params, path + ("kernel",), _t2f_linear(val))
+            else:  # 1-D: a norm scale (BatchNorm or LayerNorm)
+                put(params, path + ("scale",), val)
+        else:
+            raise ValueError(f"unhandled torch leaf {key!r}")
+
+    for (section, mod), group in mha_groups.items():
+        rules = {"backbone": _R2_BACKBONE_RULES,
+                 "encoder": _R2_ENCODER_RULES,
+                 "decoder": _R2_DECODER_RULES}[section]
+        flax_mod = rewrite(rules, mod + ".").rstrip(".")
+        base = (section, *flax_mod.split("."), "self_attn")
+        w = group["in_proj_weight"]
+        b = group["in_proj_bias"]
+        h = w.shape[1]
+        dh = h // nhead
+        for i, name in enumerate(("mha_query", "mha_key", "mha_value")):
+            put(params, base + (name, "kernel"),
+                _t2f_linear(w[i * h:(i + 1) * h]).reshape(h, nhead, dh))
+            put(params, base + (name, "bias"),
+                b[i * h:(i + 1) * h].reshape(nhead, dh))
+        put(params, base + ("mha_out", "kernel"),
+            _t2f_linear(group["out_proj.weight"]).reshape(nhead, dh, h))
+        put(params, base + ("mha_out", "bias"), group["out_proj.bias"])
+    return params, stats
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a .pth file to numpy dict (CPU torch)."""
     import torch

@@ -1,0 +1,68 @@
+"""Import helper for the R2 torch reference model (test oracle only).
+
+The reference package eagerly imports torchvision/timm in its package
+__init__ files; neither is installed here and neither is needed by the
+model classes themselves (pure torch, R2/src/zoo/rtdetr/*). This shim:
+
+* stubs the single torchvision symbol the zoo references
+  (``torchvision.ops.boxes.box_area``) plus the no-op
+  ``disable_beta_transforms_warning``;
+* installs synthetic ``src`` / ``src.zoo`` / ``nn`` / ``nn.backbone``
+  package modules whose __path__ points into the reference tree, so the
+  heavyweight package __init__ files never execute.
+
+Used by tests/test_rtdetr_torch_parity.py to build the LIVE reference
+RT-DETR as a forward-parity oracle for utils/checkpoint_convert.
+"""
+import os
+import sys
+import types
+
+R2_DIR = (
+    "/root/reference/Monocular Satellite Pose Estimation Based on "
+    "Uncertainty Estimation and Self-Assessment"
+)
+
+
+def r2_available() -> bool:
+    return os.path.isdir(R2_DIR)
+
+
+def load_r2_modules():
+    """Returns (PResNet, HybridEncoder, RTDETRTransformer, RTDETR)."""
+    if R2_DIR not in sys.path:
+        sys.path.insert(0, R2_DIR)
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        ops = types.ModuleType("torchvision.ops")
+        boxes = types.ModuleType("torchvision.ops.boxes")
+        boxes.box_area = (
+            lambda b: (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        )
+        ops.boxes = boxes
+        tv.ops = ops
+        tv.disable_beta_transforms_warning = lambda: None
+        sys.modules.update({
+            "torchvision": tv,
+            "torchvision.ops": ops,
+            "torchvision.ops.boxes": boxes,
+        })
+
+    for name, path in (
+        ("src", R2_DIR + "/src"),
+        ("src.zoo", R2_DIR + "/src/zoo"),
+        ("nn", R2_DIR + "/nn"),
+        ("nn.backbone", R2_DIR + "/nn/backbone"),
+    ):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__path__ = [path]
+            sys.modules[name] = mod
+
+    from nn.backbone.presnet import PResNet
+    from src.zoo.rtdetr.hybrid_encoder import HybridEncoder
+    from src.zoo.rtdetr.rtdetr import RTDETR
+    from src.zoo.rtdetr.rtdetr_decoder import RTDETRTransformer
+
+    return PResNet, HybridEncoder, RTDETRTransformer, RTDETR
