@@ -25,15 +25,18 @@ QUERIES = 8
 DEC_LAYERS = 2
 
 
-@pytest.fixture(scope="module")
-def torch_ref():
+@pytest.fixture(scope="module", params=[18, 50],
+                ids=["r18-basic", "r50vd-bottleneck"])
+def torch_ref(request):
     import torch
 
+    depth = request.param
     PResNet, HybridEncoder, RTDETRTransformer, TorchRTDETR = load_r2_modules()
     torch.manual_seed(0)
-    backbone = PResNet(depth=18, return_idx=[1, 2, 3], pretrained=False,
+    backbone = PResNet(depth=depth, return_idx=[1, 2, 3], pretrained=False,
                        freeze_at=-1, freeze_norm=False)
-    encoder = HybridEncoder(in_channels=[128, 256, 512], hidden_dim=HIDDEN,
+    in_ch = [128, 256, 512] if depth == 18 else [512, 1024, 2048]
+    encoder = HybridEncoder(in_channels=in_ch, hidden_dim=HIDDEN,
                             dim_feedforward=128, nhead=NHEAD, expansion=0.5)
     # the reference decoder sizes its score heads num_classes+1 like ours
     decoder = RTDETRTransformer(
@@ -50,18 +53,16 @@ def torch_ref():
         elif name.endswith("running_var"):
             buf.copy_(torch.rand(buf.shape, generator=gen) + 0.5)
     model.eval()
-    return model
+    return model, depth
 
 
-def _flax_model():
-    import dataclasses  # noqa: F401
-
+def _flax_model(depth):
     from satellite_pose_estimation_tpu.models.rtdetr import (
         RTDETR,
         RTDETRConfig,
     )
 
-    cfg = RTDETRConfig(depth=18, hidden_dim=HIDDEN, num_queries=QUERIES,
+    cfg = RTDETRConfig(depth=depth, hidden_dim=HIDDEN, num_queries=QUERIES,
                        num_decoder_layers=DEC_LAYERS, dim_feedforward=128,
                        nhead=NHEAD, expansion=0.5, freeze_norm=False,
                        num_classes=11)
@@ -83,10 +84,11 @@ def test_converted_tree_matches_init_structure(torch_ref):
         convert_r2_rtdetr,
     )
 
-    sd = {k: v.numpy() for k, v in torch_ref.state_dict().items()}
+    ref_model, depth = torch_ref
+    sd = {k: v.numpy() for k, v in ref_model.state_dict().items()}
     params, stats = convert_r2_rtdetr(sd, nhead=NHEAD)
 
-    model = _flax_model()
+    model = _flax_model(depth)
     ref = model.init(jax.random.PRNGKey(0),
                      jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
     for got, want, label in (
@@ -107,15 +109,16 @@ def test_whole_model_forward_parity(torch_ref):
         convert_r2_rtdetr,
     )
 
-    sd = {k: v.numpy() for k, v in torch_ref.state_dict().items()}
+    ref_model, depth = torch_ref
+    sd = {k: v.numpy() for k, v in ref_model.state_dict().items()}
     params, stats = convert_r2_rtdetr(sd, nhead=NHEAD)
-    model = _flax_model()
+    model = _flax_model(depth)
 
     rng = np.random.RandomState(3)
     x = rng.rand(2, 64, 64, 3).astype(np.float32)
 
     with torch.no_grad():
-        t_out = torch_ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        t_out = ref_model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
     f_out = model.apply({"params": params, "batch_stats": stats},
                         jnp.asarray(x), train=False)
 
