@@ -220,10 +220,11 @@ class Backbone8s(nn.Module):
             arch="resnet50", taps=(2, 3), norm=self.norm, dtype=self.dtype,
             quant=self.quant, s2d_stem=self.s2d_stem, name="body",
         )(x, train)
-        b, h, w, c = xs16.shape
-        up = jax.image.resize(
-            xs16, (b, h * 2, w * 2, c), method="bilinear"
-        ).astype(self.dtype)
+        # torch UpsamplingBilinear2d = align_corners=True (jax.image.resize
+        # 'bilinear' is half-pixel and diverges from the reference).
+        from ..ops.image_warp import upsample_bilinear_align_corners
+
+        up = upsample_bilinear_align_corners(xs16, 2).astype(self.dtype)
         l8 = nn_Conv(256, (1, 1), use_bias=False, dtype=self.dtype,
                      name="s8_latern")(xs8)
         l16 = nn_Conv(256, (3, 3), padding=1, use_bias=False, dtype=self.dtype,

@@ -351,3 +351,34 @@ crop_resize_cubic_mxu_batch = jax.jit(
     jax.vmap(crop_resize_cubic_mxu, in_axes=(0, 0, None, None)),
     static_argnums=(2, 3),
 )
+
+
+def _align_corners_matrix(n_in: int, n_out: int):
+    """Dense (n_out, n_in) linear-interpolation matrix with torch's
+    align_corners=True coordinate mapping: out i samples in coordinate
+    i*(n_in-1)/(n_out-1). Built in numpy at trace time (static sizes)."""
+    import numpy as np
+
+    if n_in == 1 or n_out == 1:
+        return jnp.full((n_out, n_in), 1.0 / n_in, jnp.float32)
+    pos = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    lo = np.minimum(np.floor(pos).astype(np.int64), n_in - 2)
+    frac = (pos - lo).astype(np.float32)
+    mat = np.zeros((n_out, n_in), np.float32)
+    rows = np.arange(n_out)
+    mat[rows, lo] = 1.0 - frac
+    mat[rows, lo + 1] += frac
+    return jnp.asarray(mat)
+
+
+def upsample_bilinear_align_corners(x, scale: int = 2):
+    """torch nn.UpsamplingBilinear2d(scale) equivalence — bilinear with
+    align_corners=True (R1/models/backbone.py:127 up16sto8s), formulated as
+    two dense per-axis matmuls so the resample rides the MXU rather than a
+    gather. ``jax.image.resize('bilinear')`` uses half-pixel centers and is
+    NOT equivalent. x: (B, H, W, C) -> (B, H*scale, W*scale, C)."""
+    b, h, w, c = x.shape
+    my = _align_corners_matrix(h, h * scale).astype(x.dtype)
+    mx = _align_corners_matrix(w, w * scale).astype(x.dtype)
+    y = jnp.einsum("ph,bhwc->bpwc", my, x)
+    return jnp.einsum("qw,bpwc->bpqc", mx, y)

@@ -281,18 +281,128 @@ def convert_r2_rtdetr(state_dict: Dict[str, np.ndarray], nhead: int = 8):
                  "decoder": _R2_DECODER_RULES}[section]
         flax_mod = rewrite(rules, mod + ".").rstrip(".")
         base = (section, *flax_mod.split("."), "self_attn")
-        w = group["in_proj_weight"]
-        b = group["in_proj_bias"]
-        h = w.shape[1]
-        dh = h // nhead
-        for i, name in enumerate(("mha_query", "mha_key", "mha_value")):
-            put(params, base + (name, "kernel"),
-                _t2f_linear(w[i * h:(i + 1) * h]).reshape(h, nhead, dh))
-            put(params, base + (name, "bias"),
-                b[i * h:(i + 1) * h].reshape(nhead, dh))
-        put(params, base + ("mha_out", "kernel"),
-            _t2f_linear(group["out_proj.weight"]).reshape(nhead, dh, h))
-        put(params, base + ("mha_out", "bias"), group["out_proj.bias"])
+        _put_torch_mha(params, base, group, nhead, put)
+    return params, stats
+
+
+def _put_torch_mha(params, base, group, nhead, put):
+    """Unpack one nn.MultiheadAttention (packed in_proj (3h, h) + out_proj)
+    into our per-head DenseGeneral leaves at tree path ``base``. torch
+    concatenates heads head-major, so plain reshapes are exact."""
+    w = group["in_proj_weight"]
+    b = group["in_proj_bias"]
+    h = w.shape[1]
+    dh = h // nhead
+    for i, name in enumerate(("mha_query", "mha_key", "mha_value")):
+        put(params, base + (name, "kernel"),
+            _t2f_linear(w[i * h:(i + 1) * h]).reshape(h, nhead, dh))
+        put(params, base + (name, "bias"),
+            b[i * h:(i + 1) * h].reshape(nhead, dh))
+    put(params, base + ("mha_out", "kernel"),
+        _t2f_linear(group["out_proj.weight"]).reshape(nhead, dh, h))
+    put(params, base + ("mha_out", "bias"), group["out_proj.bias"])
+
+
+def convert_r1_detr(state_dict: Dict[str, np.ndarray], nhead: int = 8):
+    """R1 DETR keypoint model state_dict -> (params, batch_stats) trees for
+    models.detr.DETRKeypointModel.
+
+    Reference naming (R1/models/detr_speed.py:32-57): ``backbone.0.body.*``
+    is a torchvision resnet trunk (handled by convert_torchvision_resnet),
+    ``backbone.0.{s8_latern,s16_latern,output_conv}`` the Backbone8s fusion
+    convs (R1/models/backbone.py:105-142), ``backbone.1`` the (parameter-
+    free) sine position embedding, plus input_proj (1x1 conv), query_embed,
+    cls_embed, point_embed MLP, and ``transformer.{encoder,decoder}.
+    layers.N`` torch nn.Transformer-style layers (decoder cross attention
+    named ``multihead_attn``). Forward parity against the live R1
+    transformer/heads is tested in tests/test_detr_torch_parity.py.
+    """
+    import re
+
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.asarray(value)
+
+    backbone_sd: dict = {}
+    mha_groups: dict = {}
+    for key, val in state_dict.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        val = np.asarray(val)
+        if key.startswith("backbone.0.body."):
+            backbone_sd[key[len("backbone.0.body."):]] = val
+        elif key.startswith("backbone.0."):
+            mod, leaf = key[len("backbone.0."):].rsplit(".", 1)
+            if leaf == "weight":
+                put(params, ("backbone", mod, "kernel"), _t2f_conv(val))
+            else:
+                put(params, ("backbone", mod, "bias"), val)
+        elif key.startswith("backbone.1."):
+            continue  # sine position embedding: no parameters
+        elif key == "query_embed.weight":
+            params["query_embed"] = val
+        elif key.startswith("input_proj."):
+            leaf = key.rsplit(".", 1)[1]
+            put(params, ("input_proj",
+                         "kernel" if leaf == "weight" else "bias"),
+                _t2f_conv(val) if leaf == "weight" else val)
+        elif key.startswith(("cls_embed.", "class_embed.")):
+            leaf = key.rsplit(".", 1)[1]
+            put(params, ("cls_embed",
+                         "kernel" if leaf == "weight" else "bias"),
+                _t2f_linear(val) if leaf == "weight" else val)
+        elif key.startswith("point_embed.layers."):
+            _, _, idx, leaf = key.split(".")
+            put(params, ("point_embed", f"layers_{idx}",
+                         "kernel" if leaf == "weight" else "bias"),
+                _t2f_linear(val) if leaf == "weight" else val)
+        elif key.startswith("transformer."):
+            rest = key[len("transformer."):]
+            m = re.match(r"(encoder|decoder)\.layers\.(\d+)\.(.+)", rest)
+            if m:
+                base = f"{m.group(1)}_layer_{m.group(2)}"
+                sub = m.group(3)
+                attn = re.match(r"(self_attn|multihead_attn)\.(.+)", sub)
+                if attn:
+                    flax_attn = ("cross_attn" if attn.group(1) ==
+                                 "multihead_attn" else "self_attn")
+                    mha_groups.setdefault(
+                        ("transformer", base, flax_attn), {}
+                    )[attn.group(2)] = val
+                    continue
+                mod, leaf = sub.rsplit(".", 1)
+                if mod.startswith("linear"):
+                    put(params, ("transformer", base, mod,
+                                 "kernel" if leaf == "weight" else "bias"),
+                        _t2f_linear(val) if leaf == "weight" else val)
+                else:  # norm1/2/3 LayerNorm
+                    put(params, ("transformer", base, mod,
+                                 "scale" if leaf == "weight" else "bias"),
+                        val)
+            else:  # encoder.norm / decoder.norm (final LayerNorms)
+                mod, leaf = rest.rsplit(".", 1)
+                flax_mod = mod.replace(".", "_")
+                put(params, ("transformer", flax_mod,
+                             "scale" if leaf == "weight" else "bias"), val)
+        else:
+            raise ValueError(f"unhandled R1 DETR key {key!r}")
+
+    bb_params, bb_stats = convert_torchvision_resnet(backbone_sd)
+    if "output_conv" in params.get("backbone", {}):
+        # Backbone8s keeps its trunk under the reference's ``body`` scope
+        params["backbone"]["body"] = bb_params
+        stats["backbone"] = {"body": bb_stats}
+    else:
+        bb_params.update(params.get("backbone", {}))
+        params["backbone"] = bb_params
+        stats["backbone"] = bb_stats
+    for base, group in mha_groups.items():
+        _put_torch_mha(params, base, group, nhead, put)
     return params, stats
 
 

@@ -208,3 +208,21 @@ def test_rotate_shear3_cubic_close_to_bilinear(rng):
         rotate_shear3(jnp.asarray(img), jnp.float32(0.3), cubic=True)
     )
     assert np.median(np.abs(bil - cub)) < 1.5
+
+
+def test_upsample_bilinear_align_corners_matches_torch(rng):
+    """torch nn.UpsamplingBilinear2d oracle (align_corners=True): the
+    reference Backbone8s upsample (R1/models/backbone.py:127)."""
+    import torch
+
+    from satellite_pose_estimation_tpu.ops.image_warp import (
+        upsample_bilinear_align_corners,
+    )
+
+    for h, w in ((4, 4), (7, 5), (1, 3)):
+        x = rng.rand(2, h, w, 3).astype(np.float32)
+        want = torch.nn.UpsamplingBilinear2d(scale_factor=2)(
+            torch.from_numpy(x.transpose(0, 3, 1, 2))
+        ).numpy().transpose(0, 2, 3, 1)
+        got = np.asarray(upsample_bilinear_align_corners(jnp.asarray(x), 2))
+        np.testing.assert_allclose(got, want, atol=1e-6, err_msg=f"{h}x{w}")
