@@ -303,6 +303,102 @@ def _put_torch_mha(params, base, group, nhead, put):
     put(params, base + ("mha_out", "bias"), group["out_proj.bias"])
 
 
+def convert_rtdetr_to_torch(params: dict, batch_stats: dict,
+                            nhead: int = 8) -> dict:
+    """Inverse of :func:`convert_r2_rtdetr`: our flax RTDETR trees -> an
+    R2-naming torch state_dict (numpy values), so a model trained here can
+    be loaded back into the reference composite
+    (R2/src/zoo/rtdetr/rtdetr.py:21-51) with ``strict=False`` (the
+    reference's unused ``temper_param`` / ``encoder_fusion_input`` and the
+    ``num_batches_tracked`` counters are not emitted). Exact round-trip
+    with the forward converter is tested in tests/test_rtdetr_torch_parity.
+    """
+    import re
+
+    def flat(tree, prefix=()):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.update(flat(v, prefix + (k,)))
+            else:
+                out[prefix + (k,)] = np.asarray(v)
+        return out
+
+    def torch_module_path(section, segs):
+        dotted = ".".join(segs)
+        if section == "backbone":
+            dotted = re.sub(
+                r"^res(\d+)_(\d+)\.",
+                lambda m: (f"res_layers.{int(m.group(1)) - 2}"
+                           f".blocks.{m.group(2)}."),
+                dotted + ".")
+            # vd variant: only the stride-1 res2 stage uses the plain
+            # ConvNormLayer shortcut; later stages pool first (short.conv)
+            if ".short_conv." in dotted:
+                plain = dotted.startswith("res_layers.0.")
+                dotted = dotted.replace(
+                    ".short_conv.", ".short." if plain else ".short.conv.")
+            dotted = re.sub(r"^(conv1_\d)\.", r"conv1.\1.", dotted)
+        elif section == "encoder":
+            dotted = re.sub(r"^input_proj_(\d+)_conv\.", r"input_proj.\1.0.",
+                            dotted + ".")
+            dotted = re.sub(r"^input_proj_(\d+)_norm\.", r"input_proj.\1.1.",
+                            dotted)
+            dotted = re.sub(r"^encoder_(\d+)_layer_(\d+)\.",
+                            r"encoder.\1.layers.\2.", dotted)
+            dotted = re.sub(
+                r"^(lateral_convs|fpn_blocks|pan_blocks|downsample_convs)"
+                r"_(\d+)\.", r"\1.\2.", dotted)
+            dotted = re.sub(r"\.bottlenecks_(\d+)\.", r".bottlenecks.\1.",
+                            dotted)
+        else:  # decoder
+            dotted = re.sub(r"^input_proj_(\d+)_(conv|norm)\.",
+                            r"input_proj.\1.\2.", dotted + ".")
+            dotted = re.sub(r"^decoder_layer_(\d+)\.", r"decoder.layers.\1.",
+                            dotted)
+            dotted = re.sub(r"^sigma_embed_(\d+)\.", r"decoder.sigma_embed.\1.",
+                            dotted)
+            dotted = re.sub(r"^(dec_bbox_head|dec_score_head)_(\d+)\.",
+                            r"\1.\2.", dotted)
+            dotted = re.sub(r"^enc_output_(\d+)\.", r"enc_output.\1.", dotted)
+            dotted = re.sub(r"\.layers_(\d+)\.", r".layers.\1.", dotted)
+        return section + "." + dotted.rstrip(".")
+
+    sd: dict = {}
+    mha: dict = {}
+    for (section, *segs, leaf), val in flat(params).items():
+        if len(segs) >= 2 and segs[-2] == "self_attn":
+            mod = torch_module_path(section, segs[:-2]) + ".self_attn"
+            mha.setdefault(mod, {})[(segs[-1], leaf)] = val
+            continue
+        mod = torch_module_path(section, segs)
+        if leaf == "kernel":
+            sd[mod + ".weight"] = (_f2t_conv(val) if val.ndim == 4
+                                   else np.transpose(val))
+        elif leaf == "scale":
+            sd[mod + ".weight"] = val
+        elif leaf == "embedding":
+            sd[mod + ".weight"] = val
+        else:
+            sd[mod + f".{leaf}"] = val
+    for (section, *segs, leaf), val in flat(batch_stats).items():
+        mod = torch_module_path(section, segs)
+        sd[mod + (".running_mean" if leaf == "mean" else ".running_var")] = val
+
+    for mod, group in mha.items():
+        h = group[("mha_out", "kernel")].shape[-1]
+        qkv_w = [np.transpose(group[(n, "kernel")].reshape(h, h))
+                 for n in ("mha_query", "mha_key", "mha_value")]
+        qkv_b = [group[(n, "bias")].reshape(h)
+                 for n in ("mha_query", "mha_key", "mha_value")]
+        sd[mod + ".in_proj_weight"] = np.concatenate(qkv_w, 0)
+        sd[mod + ".in_proj_bias"] = np.concatenate(qkv_b, 0)
+        sd[mod + ".out_proj.weight"] = np.transpose(
+            group[("mha_out", "kernel")].reshape(h, h))
+        sd[mod + ".out_proj.bias"] = group[("mha_out", "bias")]
+    return sd
+
+
 def convert_r1_detr(state_dict: Dict[str, np.ndarray], nhead: int = 8):
     """R1 DETR keypoint model state_dict -> (params, batch_stats) trees for
     models.detr.DETRKeypointModel.

@@ -131,3 +131,27 @@ def test_whole_model_forward_parity(torch_ref):
             a, b, atol=5e-4, rtol=1e-3,
             err_msg=f"{ours} diverges from the torch reference",
         )
+
+
+def test_state_dict_round_trip(torch_ref):
+    """convert_rtdetr_to_torch must exactly invert convert_r2_rtdetr, so a
+    model trained here loads back into the reference composite."""
+    from satellite_pose_estimation_tpu.utils.checkpoint_convert import (
+        convert_r2_rtdetr,
+        convert_rtdetr_to_torch,
+    )
+
+    ref_model, depth = torch_ref
+    sd = {k: v.numpy() for k, v in ref_model.state_dict().items()}
+    params, stats = convert_r2_rtdetr(sd, nhead=NHEAD)
+    back = convert_rtdetr_to_torch(params, stats, nhead=NHEAD)
+
+    skipped = ("temper_param", "encoder.encoder_fusion_input.weight")
+    want = {k for k in sd
+            if not k.endswith("num_batches_tracked") and k not in skipped}
+    assert set(back) == want, (
+        f"missing={sorted(want - set(back))[:5]} "
+        f"extra={sorted(set(back) - want)[:5]}"
+    )
+    for k in sorted(want):
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
