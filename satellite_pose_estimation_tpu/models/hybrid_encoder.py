@@ -210,10 +210,12 @@ class HybridEncoder(nn.Module):
         for idx in range(n - 1):
             feat_low = outs[-1]
             feat_high = inner_outs[idx + 1]
+            from ..ops.image_warp import resize_bicubic_torch
+
             b, h, w, c = feat_low.shape
-            down = jax.image.resize(
-                feat_low, (b, h // 2, w // 2, c), method="cubic"
-            ).astype(self.dtype)
+            # torch bicubic without antialias (jax.image.resize 'cubic'
+            # antialiases on downscale and diverges from the reference)
+            down = resize_bicubic_torch(feat_low, h // 2, w // 2)
             out = CSPRepLayer(
                 self.hidden_dim, 1, self.expansion, self.act, self.deploy,
                 self.dtype, name=f"pan_blocks_{idx}",

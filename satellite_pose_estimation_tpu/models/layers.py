@@ -107,7 +107,7 @@ class MLP(nn.Module):
 def get_activation(name: str) -> Callable:
     return {
         "relu": nn.relu,
-        "gelu": nn.gelu,
+        "gelu": lambda x: nn.gelu(x, approximate=False),  # torch nn.GELU is erf-exact
         "silu": nn.silu,
         "swish": nn.silu,
     }[name]

@@ -135,19 +135,19 @@ class RTDecoderLayer(nn.Module):
         q = k = tgt + query_pos
         sa = _Attention(self.d_model, self.n_head, self.dropout, self.dtype,
                         name="self_attn")(q, k, tgt, deterministic)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt + drop(sa))
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt + drop(sa))
 
         ca = MSDeformableAttention(
             self.d_model, self.n_head, self.n_levels, self.n_points,
             self.dtype, name="cross_attn",
         )(tgt + query_pos, reference_points, memory, spatial_shapes)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt + drop(ca))
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt + drop(ca))
 
         ff = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(tgt)
         ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(
             nn.Dropout(self.dropout)(act(ff), deterministic=deterministic)
         )
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt + drop(ff))
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt + drop(ff))
         return tgt
 
 
@@ -221,7 +221,7 @@ class RTDETRTransformer(nn.Module):
         out_mem = nn.Dense(self.hidden_dim, dtype=cfg_dtype, name="enc_output_0")(
             memory
         )
-        out_mem = nn.LayerNorm(dtype=cfg_dtype, name="enc_output_1")(out_mem)
+        out_mem = nn.LayerNorm(epsilon=1e-5, dtype=cfg_dtype, name="enc_output_1")(out_mem)
 
         enc_logits = nn.Dense(
             self.num_classes + 1,

@@ -122,7 +122,9 @@ class EncoderLayer(nn.Module):
 
         Dense = (QDense if self.quant and quant_scope("ffn")
                  else nn.Dense)
-        act = {"relu": nn.relu, "gelu": nn.gelu}[self.activation]
+        act = {"relu": nn.relu,
+               "gelu": lambda x: nn.gelu(x, approximate=False)}[
+            self.activation]  # torch nn.GELU is erf-exact
 
         def sa(x_qk_src):
             q = k = x_qk_src + pos
@@ -145,15 +147,15 @@ class EncoderLayer(nn.Module):
         from ..parallel.sp import constrain_seq
 
         if self.normalize_before:
-            src2 = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
+            src2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)
             src = constrain_seq(src + drop(sa(src2)))
-            src2 = nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
+            src2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src)
             src = constrain_seq(src + drop(ffn(src2)))
         else:
             src = src + drop(sa(src))
-            src = constrain_seq(nn.LayerNorm(dtype=self.dtype, name="norm1")(src))
+            src = constrain_seq(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src))
             src = src + drop(ffn(src))
-            src = constrain_seq(nn.LayerNorm(dtype=self.dtype, name="norm2")(src))
+            src = constrain_seq(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src))
         return src
 
 
@@ -172,7 +174,9 @@ class DecoderLayer(nn.Module):
         from .layers import QDense
 
         Dense = QDense if self.quant else nn.Dense
-        act = {"relu": nn.relu, "gelu": nn.gelu}[self.activation]
+        act = {"relu": nn.relu,
+               "gelu": lambda x: nn.gelu(x, approximate=False)}[
+            self.activation]  # torch nn.GELU is erf-exact
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
         # Decoder sequences are tiny (num_queries=20): per-(b,h) kernel
@@ -199,19 +203,19 @@ class DecoderLayer(nn.Module):
             return Dense(self.d_model, dtype=self.dtype, name="linear2")(x)
 
         if self.normalize_before:
-            tgt2 = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
+            tgt2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt)
             tgt = tgt + drop(sa(tgt2))
-            tgt2 = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt)
+            tgt2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt)
             tgt = tgt + drop(ca(tgt2))
-            tgt2 = nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt)
+            tgt2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt)
             tgt = tgt + drop(ffn(tgt2))
         else:
             tgt = tgt + drop(sa(tgt))
-            tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
+            tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt)
             tgt = tgt + drop(ca(tgt))
-            tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt)
+            tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt)
             tgt = tgt + drop(ffn(tgt))
-            tgt = nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt)
+            tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt)
         return tgt
 
 
@@ -254,11 +258,11 @@ class Transformer(nn.Module):
                 self.use_flash, self.quant, name=f"encoder_layer_{i}",
             )(mem, pos, deterministic)
         if self.normalize_before:
-            mem = nn.LayerNorm(dtype=self.dtype, name="encoder_norm")(mem)
+            mem = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="encoder_norm")(mem)
 
         tgt = jnp.zeros_like(query_pos)
         intermediates = []
-        final_norm = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")
+        final_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="decoder_norm")
         for i in range(self.num_decoder_layers):
             tgt = DecoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,

@@ -371,6 +371,73 @@ def _align_corners_matrix(n_in: int, n_out: int):
     return jnp.asarray(mat)
 
 
+def _halfpixel_matrix(n_in: int, n_out: int):
+    """Dense (n_out, n_in) linear-interpolation matrix with half-pixel
+    centers and NO antialiasing — torch F.interpolate(mode='bilinear',
+    align_corners=False, antialias=False) semantics. jax.image.resize
+    antialiases when downscaling and is NOT equivalent."""
+    import numpy as np
+
+    pos = (np.arange(n_out) + 0.5) * n_in / n_out - 0.5
+    pos = np.clip(pos, 0.0, n_in - 1)
+    lo = np.minimum(np.floor(pos).astype(np.int64), max(n_in - 2, 0))
+    frac = (pos - lo).astype(np.float32)
+    mat = np.zeros((n_out, n_in), np.float32)
+    rows = np.arange(n_out)
+    mat[rows, lo] = 1.0 - frac
+    mat[rows, np.minimum(lo + 1, n_in - 1)] += frac
+    return jnp.asarray(mat)
+
+
+def _halfpixel_cubic_matrix(n_in: int, n_out: int):
+    """Dense (n_out, n_in) bicubic interpolation matrix (a = -0.75) with
+    half-pixel centers, edge-clamped taps, and NO antialiasing — torch
+    F.interpolate(mode='bicubic', align_corners=False) semantics."""
+    import numpy as np
+
+    a = -0.75
+
+    def k(s):  # pure-numpy twin of _cubic_weights' kernel (trace-safe)
+        s = np.abs(s)
+        w1 = ((a + 2.0) * s - (a + 3.0)) * s * s + 1.0
+        w2 = ((a * s - 5.0 * a) * s + 8.0 * a) * s - 4.0 * a
+        return np.where(s <= 1.0, w1, np.where(s < 2.0, w2, 0.0))
+
+    pos = (np.arange(n_out) + 0.5) * n_in / n_out - 0.5
+    base = np.floor(pos).astype(np.int64)
+    frac = pos - base
+    w = np.stack([k(frac + 1.0), k(frac), k(1.0 - frac), k(2.0 - frac)], -1)
+    mat = np.zeros((n_out, n_in), np.float32)
+    for tap in range(4):
+        idx = np.clip(base - 1 + tap, 0, n_in - 1)
+        np.add.at(mat, (np.arange(n_out), idx), w[:, tap].astype(np.float32))
+    return jnp.asarray(mat)
+
+
+def resize_bicubic_torch(x, out_h: int, out_w: int):
+    """torch F.interpolate(..., mode='bicubic', align_corners=False)
+    equivalence (no antialias) as two dense per-axis matmuls — the
+    reference's PAN 0.5x downsample (R2 hybrid_encoder.py:394).
+    jax.image.resize('cubic') antialiases on downscale and diverges."""
+    b, h, w, c = x.shape
+    my = _halfpixel_cubic_matrix(h, out_h).astype(x.dtype)
+    mx = _halfpixel_cubic_matrix(w, out_w).astype(x.dtype)
+    y = jnp.einsum("ph,bhwc->bpwc", my, x)
+    return jnp.einsum("qw,bpwc->bpqc", mx, y)
+
+
+def resize_bilinear_torch(x, out_h: int, out_w: int):
+    """torch F.interpolate(..., mode='bilinear', align_corners=False)
+    equivalence (no antialias), as two dense per-axis matmuls. Used where
+    the reference interpolates feature maps (e.g. the custom MobileNetV3
+    branch resize, R2/nn/backbone/mobilenetv3.py:219)."""
+    b, h, w, c = x.shape
+    my = _halfpixel_matrix(h, out_h).astype(x.dtype)
+    mx = _halfpixel_matrix(w, out_w).astype(x.dtype)
+    y = jnp.einsum("ph,bhwc->bpwc", my, x)
+    return jnp.einsum("qw,bpwc->bpqc", mx, y)
+
+
 def upsample_bilinear_align_corners(x, scale: int = 2):
     """torch nn.UpsamplingBilinear2d(scale) equivalence — bilinear with
     align_corners=True (R1/models/backbone.py:127 up16sto8s), formulated as

@@ -172,6 +172,17 @@ _R2_RTDETR_SKIP = (
     "decoder.valid_mask",
 )
 
+# R2 custom-MobileNetV3 backbone (R2/nn/backbone/mobilenetv3.py): flax
+# module names mirror the torch attribute names, so only the Sequential
+# indices need rewriting. The classification tail (linear3/bn3/gap/drop) is
+# dead in the reference's detection forward and is dropped.
+_R2_MOBILENET_RULES = (
+    (r"^bneck\.(\d+)\.", r"bneck_\1."),
+    (r"\bse\.se\.(\d)\.", r"se.se_\1."),
+    (r"\bskip\.(\d)\.", r"skip_\1."),
+)
+_R2_MOBILENET_DEAD = ("backbone.linear3.", "backbone.bn3.")
+
 # ordered torch-module-path -> flax-module-path rewrites, per top section
 _R2_BACKBONE_RULES = (
     (r"^conv1\.", ""),
@@ -236,15 +247,19 @@ def convert_r2_rtdetr(state_dict: Dict[str, np.ndarray], nhead: int = 8):
             dotted = re.sub(pat, rep, dotted)
         return dotted
 
+    mobilenet = any(k.startswith("backbone.bneck.") for k in state_dict)
+    backbone_rules = _R2_MOBILENET_RULES if mobilenet else _R2_BACKBONE_RULES
     mha_groups: dict = {}
     for key, val in state_dict.items():
         if key.endswith("num_batches_tracked"):
             continue
         if any(key == s or key.startswith(s + ".") for s in _R2_RTDETR_SKIP):
             continue
+        if mobilenet and key.startswith(_R2_MOBILENET_DEAD):
+            continue
         val = np.asarray(val)
         section, rest = key.split(".", 1)
-        rules = {"backbone": _R2_BACKBONE_RULES,
+        rules = {"backbone": backbone_rules,
                  "encoder": _R2_ENCODER_RULES,
                  "decoder": _R2_DECODER_RULES}[section]
 
@@ -276,7 +291,7 @@ def convert_r2_rtdetr(state_dict: Dict[str, np.ndarray], nhead: int = 8):
             raise ValueError(f"unhandled torch leaf {key!r}")
 
     for (section, mod), group in mha_groups.items():
-        rules = {"backbone": _R2_BACKBONE_RULES,
+        rules = {"backbone": backbone_rules,
                  "encoder": _R2_ENCODER_RULES,
                  "decoder": _R2_DECODER_RULES}[section]
         flax_mod = rewrite(rules, mod + ".").rstrip(".")
@@ -326,6 +341,12 @@ def convert_rtdetr_to_torch(params: dict, batch_stats: dict,
 
     def torch_module_path(section, segs):
         dotted = ".".join(segs)
+        if section == "backbone" and segs[0].startswith("bneck_"):
+            # custom MobileNetV3: invert _R2_MOBILENET_RULES
+            dotted = re.sub(r"^bneck_(\d+)\.", r"bneck.\1.", dotted + ".")
+            dotted = re.sub(r"\.se\.se_(\d)\.", r".se.se.\1.", dotted)
+            dotted = re.sub(r"\.skip_(\d)\.", r".skip.\1.", dotted)
+            return section + "." + dotted.rstrip(".")
         if section == "backbone":
             dotted = re.sub(
                 r"^res(\d+)_(\d+)\.",

@@ -155,3 +155,93 @@ def test_state_dict_round_trip(torch_ref):
     )
     for k in sorted(want):
         np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
+@pytest.mark.parametrize("mode", ["large", "small"])
+def test_mobilenet_forward_parity(mode):
+    """Whole-model parity on the reference's CUSTOM MobileNetV3 backbones
+    (parameterized block skips, SE-with-BN, side-branch pyramid with its
+    hardcoded input/4 resize — R2/nn/backbone/mobilenetv3.py). Input is 256
+    so the reference's fixed (64, 64) branch resize equals our input/4."""
+    import torch
+
+    from satellite_pose_estimation_tpu.models.rtdetr import (
+        RTDETR,
+        RTDETRConfig,
+    )
+    from satellite_pose_estimation_tpu.utils.checkpoint_convert import (
+        convert_r2_rtdetr,
+    )
+
+    load_r2_modules()
+    from nn.backbone.mobilenetv3 import MobileNetV3_Large, MobileNetV3_Small
+    from src.zoo.rtdetr.hybrid_encoder import HybridEncoder
+    from src.zoo.rtdetr.rtdetr import RTDETR as TorchRTDETR
+    from src.zoo.rtdetr.rtdetr_decoder import RTDETRTransformer
+
+    torch.manual_seed(1)
+    bb_cls = MobileNetV3_Large if mode == "large" else MobileNetV3_Small
+    backbone = bb_cls(depth=0, pretrained=False, freeze_norm=False)
+    encoder = HybridEncoder(in_channels=[128, 256, 512], hidden_dim=HIDDEN,
+                            dim_feedforward=128, nhead=NHEAD, expansion=0.5)
+    decoder = RTDETRTransformer(
+        num_classes=11, hidden_dim=HIDDEN, num_queries=QUERIES,
+        feat_channels=[HIDDEN] * 3, nhead=NHEAD,
+        num_decoder_layers=DEC_LAYERS, dim_feedforward=128, num_denoising=0,
+    )
+    ref_model = TorchRTDETR(backbone=backbone, encoder=encoder,
+                            decoder=decoder)
+    gen = torch.Generator().manual_seed(9)
+    for name, buf in ref_model.named_buffers():
+        if name.endswith("running_mean"):
+            buf.copy_(torch.randn(buf.shape, generator=gen) * 0.1)
+        elif name.endswith("running_var"):
+            buf.copy_(torch.rand(buf.shape, generator=gen) + 0.5)
+    # f64 both sides: at 256 input (1344 encoder tokens) f32 accumulation
+    # noise alone reaches ~0.5% on logits, masking real drift. In f64 the
+    # stacks agree to ~1e-7, so the tolerance can be four orders tighter.
+    ref_model = ref_model.double().eval()
+
+    sd = {k: v.numpy() for k, v in ref_model.state_dict().items()}
+    params, stats = convert_r2_rtdetr(sd, nhead=NHEAD)
+
+    # exact reverse round-trip (minus dead classifier tail / unused params)
+    from satellite_pose_estimation_tpu.utils.checkpoint_convert import (
+        convert_rtdetr_to_torch,
+    )
+
+    back = convert_rtdetr_to_torch(params, stats, nhead=NHEAD)
+    dead = ("temper_param", "encoder.encoder_fusion_input.weight")
+    want = {k for k in sd if not k.endswith("num_batches_tracked")
+            and k not in dead
+            and not k.startswith(("backbone.linear3.", "backbone.bn3."))}
+    assert set(back) == want, (
+        f"missing={sorted(want - set(back))[:5]} "
+        f"extra={sorted(set(back) - want)[:5]}"
+    )
+    for k in want:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+    cfg = RTDETRConfig(backbone=f"mobilenetv3_{mode}", hidden_dim=HIDDEN,
+                       num_queries=QUERIES, num_decoder_layers=DEC_LAYERS,
+                       dim_feedforward=128, nhead=NHEAD, expansion=0.5,
+                       freeze_norm=False, num_classes=11,
+                       dtype=jnp.float64)
+    model = RTDETR(cfg)
+
+    # batch 2: the reference's torch.squeeze(sampling_locations)
+    # (rtdetr_decoder.py:168) collapses the batch axis at batch size 1
+    rng = np.random.RandomState(17)
+    x = rng.rand(2, 256, 256, 3)
+    with torch.no_grad():
+        t_out = ref_model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    f_out = model.apply({"params": params, "batch_stats": stats},
+                        jnp.asarray(x, jnp.float64), train=False)
+    for ours, theirs in (("pred_logits", "pred_logits"),
+                         ("pred_points", "pred_pts"),
+                         ("pred_sigmas", "pred_sigmas")):
+        np.testing.assert_allclose(
+            np.asarray(f_out[ours]), t_out[theirs].numpy(),
+            atol=1e-5, rtol=1e-5,
+            err_msg=f"{ours} diverges from the torch reference ({mode})",
+        )
