@@ -23,6 +23,10 @@ def _make_divisible(v, divisor=4):
     return max(divisor, int(v + divisor / 2) // divisor * divisor)
 
 
+def _hswish(x):
+    return x * nn.relu6(x + 3.0) / 6.0
+
+
 class GhostModule(nn.Module):
     ch_out: int
     kernel: int = 1
@@ -69,9 +73,10 @@ class GhostModule(nn.Module):
                         dtype=self.dtype, name="dfc_v")(a)
             a = apply_norm("bn", self.ch_out, "dfc_v_bn", a, train, self.dtype)
             gate = jax.nn.sigmoid(a)
-            gate = jax.image.resize(
-                gate, (b, h, w, self.ch_out), method="nearest"
-            ).astype(out.dtype)
+            # torch F.interpolate(mode='nearest') = floor-index sampling
+            hi = jnp.arange(h) * gate.shape[1] // h
+            wi = jnp.arange(w) * gate.shape[2] // w
+            gate = gate[:, hi][:, :, wi].astype(out.dtype)
             out = out * gate
         return out
 
@@ -127,61 +132,91 @@ class GhostBottleneckV2(nn.Module):
         return y + short
 
 
-# (dw_kernel, mid, out, se_ratio, stride) per block
+# (dw_kernel, mid, out, se_ratio, stride) per block, grouped in the
+# reference's 9 stages (R2 ghostnetv2.py:297-319)
 _CFG = [
-    (3, 16, 16, 0.0, 1),
-    (3, 48, 24, 0.0, 2),
-    (3, 72, 24, 0.0, 1),
-    (5, 72, 40, 0.25, 2),
-    (5, 120, 40, 0.25, 1),
-    (3, 240, 80, 0.0, 2),
-    (3, 200, 80, 0.0, 1),
-    (3, 184, 80, 0.0, 1),
-    (3, 184, 80, 0.0, 1),
-    (3, 480, 112, 0.25, 1),
-    (3, 672, 112, 0.25, 1),
-    (5, 672, 160, 0.25, 2),
-    (5, 960, 160, 0.0, 1),
-    (5, 960, 160, 0.25, 1),
-    (5, 960, 160, 0.0, 1),
-    (5, 960, 160, 0.25, 1),
+    [(3, 16, 16, 0.0, 1)],
+    [(3, 48, 24, 0.0, 2)],
+    [(3, 72, 24, 0.0, 1)],
+    [(5, 72, 40, 0.25, 2)],
+    [(5, 120, 40, 0.25, 1)],
+    [(3, 240, 80, 0.0, 2)],
+    [(3, 200, 80, 0.0, 1),
+     (3, 184, 80, 0.0, 1),
+     (3, 184, 80, 0.0, 1),
+     (3, 480, 112, 0.25, 1),
+     (3, 672, 112, 0.25, 1)],
+    [(5, 672, 160, 0.25, 2)],
+    [(5, 960, 160, 0.0, 1),
+     (5, 960, 160, 0.25, 1),
+     (5, 960, 160, 0.0, 1),
+     (5, 960, 160, 0.25, 1)],
 ]
 
 
 class GhostNetV2(nn.Module):
+    """Reference-variant GhostNetV2 pyramid (R2 ghostnetv2.py:286-442):
+    level 0/1 come from a side branch on the PRE-BN stem output resized to
+    input/4 (reference hardcodes (64, 64) for its 256 input) through two
+    stride-2 3x3 convs with BN+hardswish; level 2 is the 960-channel bneck
+    tail (stage 9 ConvBnAct) through a 1x1 512 conv. Module names mirror
+    the torch attributes (conv_stem/bn1, Conv{1,2,3}/Bn{1,2,3},
+    blocks_{stage}_{i}) for checkpoint conversion; the dead classifier
+    tail (global_pool/conv_head/classifier) is not reproduced."""
+
     width: float = 1.0
     dtype: Any = jnp.float32
 
     @property
     def out_channels(self) -> List[int]:
-        last = {}
-        stride = 2
-        for (_, _, out, _, s) in _CFG:
-            stride *= s
-            last[stride] = _make_divisible(out * self.width)
-        return [last[8], last[16], last[32]]
+        return [128, 256, 512]
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        stem = _make_divisible(16 * self.width)
-        x = nn.Conv(stem, (3, 3), strides=(2, 2), padding=1, use_bias=False,
-                    dtype=self.dtype, name="stem_conv")(x)
-        x = apply_norm("bn", stem, "stem_bn", x, train, self.dtype)
-        x = nn.relu(x)
+        from ..ops.image_warp import resize_bilinear_torch
 
-        outs = {}
-        stride = 2
-        for i, (k, mid, out, se, s) in enumerate(_CFG):
-            stride *= s
-            x = GhostBottleneckV2(
-                mid_ch=_make_divisible(mid * self.width),
-                ch_out=_make_divisible(out * self.width),
-                dw_kernel=k,
-                stride=s,
-                se_ratio=se,
-                layer_id=i,
-                dtype=self.dtype,
-                name=f"block_{i}",
-            )(x, train)
-            outs[stride] = x
-        return [outs[8], outs[16], outs[32]]
+        stem = _make_divisible(16 * self.width)
+        out = nn.Conv(stem, (3, 3), strides=(2, 2), padding=1, use_bias=False,
+                      dtype=self.dtype, name="conv_stem")(x)
+
+        # side branch taps the PRE-BN stem output (R2 ghostnetv2.py:420)
+        b = resize_bilinear_torch(out, x.shape[1] // 4, x.shape[2] // 4)
+        b = nn.Conv(128, (3, 3), strides=(2, 2), padding=1, use_bias=False,
+                    dtype=self.dtype, name="Conv1")(b)
+        b = apply_norm("bn", 128, "Bn1", b, train, self.dtype)
+        b = _hswish(b)
+        c = nn.Conv(256, (3, 3), strides=(2, 2), padding=1, use_bias=False,
+                    dtype=self.dtype, name="Conv2")(b)
+        c = apply_norm("bn", 256, "Bn2", c, train, self.dtype)
+        c = _hswish(c)
+
+        out = apply_norm("bn", stem, "bn1", out, train, self.dtype)
+        out = nn.relu(out)
+
+        layer_id = 0
+        for si, stage in enumerate(_CFG):
+            for bi, (k, mid, ch, se, s) in enumerate(stage):
+                out = GhostBottleneckV2(
+                    mid_ch=_make_divisible(mid * self.width),
+                    ch_out=_make_divisible(ch * self.width),
+                    dw_kernel=k,
+                    stride=s,
+                    se_ratio=se,
+                    layer_id=layer_id,
+                    dtype=self.dtype,
+                    name=f"blocks_{si}_{bi}",
+                )(out, train)
+                layer_id += 1
+        # stage 9: ConvBnAct 160 -> 960 (R2 ghostnetv2.py:376)
+        tail_ch = _make_divisible(960 * self.width)
+        out = nn.Conv(tail_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="blocks_9_0_conv")(out)
+        out = apply_norm("bn", tail_ch, "blocks_9_0_bn1", out, train,
+                         self.dtype)
+        out = nn.relu(out)
+
+        out = nn.Conv(512, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="Conv3")(out)
+        out = apply_norm("bn", 512, "Bn3", out, train, self.dtype)
+        out = _hswish(out)
+        return [b, c, out]

@@ -183,6 +183,34 @@ _R2_MOBILENET_RULES = (
 )
 _R2_MOBILENET_DEAD = ("backbone.linear3.", "backbone.bn3.")
 
+# R2 GhostNetV2 backbone (R2/nn/backbone/ghostnetv2.py): Sequential indices
+# -> our semantic module names. The dead classifier tail
+# (global_pool/conv_head/classifier) is dropped.
+_R2_GHOSTNET_RULES = (
+    (r"^blocks\.9\.0\.conv\.", "blocks_9_0_conv."),
+    (r"^blocks\.9\.0\.bn1\.", "blocks_9_0_bn1."),
+    (r"^blocks\.(\d+)\.(\d+)\.", r"blocks_\1_\2."),
+    (r"\b(ghost\d)\.primary_conv\.0\.", r"\1.primary_conv."),
+    (r"\b(ghost\d)\.primary_conv\.1\.", r"\1.primary_bn."),
+    (r"\b(ghost\d)\.cheap_operation\.0\.", r"\1.cheap_conv."),
+    (r"\b(ghost\d)\.cheap_operation\.1\.", r"\1.cheap_bn."),
+    (r"\bghost1\.short_conv\.0\.", "ghost1.short_conv."),
+    (r"\bghost1\.short_conv\.1\.", "ghost1.short_bn."),
+    (r"\bghost1\.short_conv\.2\.", "ghost1.dfc_h."),
+    (r"\bghost1\.short_conv\.3\.", "ghost1.dfc_h_bn."),
+    (r"\bghost1\.short_conv\.4\.", "ghost1.dfc_v."),
+    (r"\bghost1\.short_conv\.5\.", "ghost1.dfc_v_bn."),
+    (r"\bconv_dw\.", "dw_conv."),
+    (r"\bbn_dw\.", "dw_bn."),
+    (r"\bse\.conv_reduce\.", "se_reduce."),
+    (r"\bse\.conv_expand\.", "se_expand."),
+    (r"\bshortcut\.0\.", "short_dw."),
+    (r"\bshortcut\.1\.", "short_dw_bn."),
+    (r"\bshortcut\.2\.", "short_pw."),
+    (r"\bshortcut\.3\.", "short_pw_bn."),
+)
+_R2_GHOSTNET_DEAD = ("backbone.conv_head.", "backbone.classifier.")
+
 # ordered torch-module-path -> flax-module-path rewrites, per top section
 _R2_BACKBONE_RULES = (
     (r"^conv1\.", ""),
@@ -248,14 +276,18 @@ def convert_r2_rtdetr(state_dict: Dict[str, np.ndarray], nhead: int = 8):
         return dotted
 
     mobilenet = any(k.startswith("backbone.bneck.") for k in state_dict)
-    backbone_rules = _R2_MOBILENET_RULES if mobilenet else _R2_BACKBONE_RULES
+    ghostnet = any(k.startswith("backbone.conv_stem.") for k in state_dict)
+    backbone_rules = (_R2_MOBILENET_RULES if mobilenet else
+                      _R2_GHOSTNET_RULES if ghostnet else _R2_BACKBONE_RULES)
+    dead = (_R2_MOBILENET_DEAD if mobilenet else
+            _R2_GHOSTNET_DEAD if ghostnet else ())
     mha_groups: dict = {}
     for key, val in state_dict.items():
         if key.endswith("num_batches_tracked"):
             continue
         if any(key == s or key.startswith(s + ".") for s in _R2_RTDETR_SKIP):
             continue
-        if mobilenet and key.startswith(_R2_MOBILENET_DEAD):
+        if dead and key.startswith(dead):
             continue
         val = np.asarray(val)
         section, rest = key.split(".", 1)
@@ -339,8 +371,39 @@ def convert_rtdetr_to_torch(params: dict, batch_stats: dict,
                 out[prefix + (k,)] = np.asarray(v)
         return out
 
+    _GHOST_INVERSE = (
+        (r"^blocks_9_0_conv\.", "blocks.9.0.conv."),
+        (r"^blocks_9_0_bn1\.", "blocks.9.0.bn1."),
+        (r"^blocks_(\d+)_(\d+)\.", r"blocks.\1.\2."),
+        (r"\.(ghost\d)\.primary_conv\.", r".\1.primary_conv.0."),
+        (r"\.(ghost\d)\.primary_bn\.", r".\1.primary_conv.1."),
+        (r"\.(ghost\d)\.cheap_conv\.", r".\1.cheap_operation.0."),
+        (r"\.(ghost\d)\.cheap_bn\.", r".\1.cheap_operation.1."),
+        (r"\.ghost1\.short_conv\.", ".ghost1.short_conv.0."),
+        (r"\.ghost1\.short_bn\.", ".ghost1.short_conv.1."),
+        (r"\.ghost1\.dfc_h\.", ".ghost1.short_conv.2."),
+        (r"\.ghost1\.dfc_h_bn\.", ".ghost1.short_conv.3."),
+        (r"\.ghost1\.dfc_v\.", ".ghost1.short_conv.4."),
+        (r"\.ghost1\.dfc_v_bn\.", ".ghost1.short_conv.5."),
+        (r"\.dw_conv\.", ".conv_dw."),
+        (r"\.dw_bn\.", ".bn_dw."),
+        (r"\.se_reduce\.", ".se.conv_reduce."),
+        (r"\.se_expand\.", ".se.conv_expand."),
+        (r"\.short_dw\.", ".shortcut.0."),
+        (r"\.short_dw_bn\.", ".shortcut.1."),
+        (r"\.short_pw\.", ".shortcut.2."),
+        (r"\.short_pw_bn\.", ".shortcut.3."),
+    )
+
     def torch_module_path(section, segs):
         dotted = ".".join(segs)
+        if section == "backbone" and (segs[0].startswith("blocks_")
+                                      or segs[0] == "conv_stem"):
+            # GhostNetV2: invert _R2_GHOSTNET_RULES
+            dotted = dotted + "."
+            for pat, rep in _GHOST_INVERSE:
+                dotted = re.sub(pat, rep, dotted)
+            return section + "." + dotted.rstrip(".")
         if section == "backbone" and segs[0].startswith("bneck_"):
             # custom MobileNetV3: invert _R2_MOBILENET_RULES
             dotted = re.sub(r"^bneck_(\d+)\.", r"bneck.\1.", dotted + ".")

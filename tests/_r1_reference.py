@@ -30,6 +30,7 @@ def _ensure_torchvision_stub():
     tv = sys.modules.get("torchvision")
     if tv is None:
         tv = types.ModuleType("torchvision")
+        tv.__graft_stub__ = True
         sys.modules["torchvision"] = tv
     if not hasattr(tv, "__version__"):
         # R1/utils/misc.py version-checks float(__version__[:3]) < 0.7

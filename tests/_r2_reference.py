@@ -35,6 +35,7 @@ def load_r2_modules():
 
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
+        tv.__graft_stub__ = True
         ops = types.ModuleType("torchvision.ops")
         boxes = types.ModuleType("torchvision.ops.boxes")
         boxes.box_area = (
@@ -47,6 +48,20 @@ def load_r2_modules():
             "torchvision": tv,
             "torchvision.ops": ops,
             "torchvision.ops.boxes": boxes,
+        })
+
+    if "timm" not in sys.modules:
+        # ghostnetv2.py uses only the @register_model decorator
+        timm = types.ModuleType("timm")
+        timm_models = types.ModuleType("timm.models")
+        timm_registry = types.ModuleType("timm.models.registry")
+        timm_registry.register_model = lambda fn: fn
+        timm_models.registry = timm_registry
+        timm.models = timm_models
+        sys.modules.update({
+            "timm": timm,
+            "timm.models": timm_models,
+            "timm.models.registry": timm_registry,
         })
 
     for name, path in (

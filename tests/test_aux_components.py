@@ -107,6 +107,10 @@ def test_torchvision_resnet_conversion(rng):
     the stem (conv1+bn1+relu+maxpool) against torch."""
     torch = pytest.importorskip("torch")
     torchvision = pytest.importorskip("torchvision")
+    if getattr(torchvision, "__graft_stub__", False):
+        # the live-reference loaders stub torchvision when the real package
+        # is absent; this test needs the real torchvision models
+        pytest.skip("torchvision stubbed by reference-oracle loader")
 
     tmodel = torchvision.models.resnet18(weights=None)
     tmodel.eval()

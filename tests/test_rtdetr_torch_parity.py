@@ -157,12 +157,14 @@ def test_state_dict_round_trip(torch_ref):
         np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
 
 
-@pytest.mark.parametrize("mode", ["large", "small"])
+@pytest.mark.parametrize("mode", ["large", "small", "ghostnetv2"])
 def test_mobilenet_forward_parity(mode):
-    """Whole-model parity on the reference's CUSTOM MobileNetV3 backbones
-    (parameterized block skips, SE-with-BN, side-branch pyramid with its
-    hardcoded input/4 resize — R2/nn/backbone/mobilenetv3.py). Input is 256
-    so the reference's fixed (64, 64) branch resize equals our input/4."""
+    """Whole-model parity on the reference's CUSTOM alt backbones: the
+    modified MobileNetV3 L/S (parameterized block skips, SE-with-BN) and
+    GhostNetV2 (DFC attention, pre-BN stem branch) — both with the
+    side-branch pyramid and its hardcoded input/4 resize
+    (R2/nn/backbone/{mobilenetv3,ghostnetv2}.py). Input is 256 so the
+    reference's fixed (64, 64) branch resize equals our input/4."""
     import torch
 
     from satellite_pose_estimation_tpu.models.rtdetr import (
@@ -174,13 +176,15 @@ def test_mobilenet_forward_parity(mode):
     )
 
     load_r2_modules()
+    from nn.backbone.ghostnetv2 import GhostNetV2
     from nn.backbone.mobilenetv3 import MobileNetV3_Large, MobileNetV3_Small
     from src.zoo.rtdetr.hybrid_encoder import HybridEncoder
     from src.zoo.rtdetr.rtdetr import RTDETR as TorchRTDETR
     from src.zoo.rtdetr.rtdetr_decoder import RTDETRTransformer
 
     torch.manual_seed(1)
-    bb_cls = MobileNetV3_Large if mode == "large" else MobileNetV3_Small
+    bb_cls = {"large": MobileNetV3_Large, "small": MobileNetV3_Small,
+              "ghostnetv2": GhostNetV2}[mode]
     backbone = bb_cls(depth=0, pretrained=False, freeze_norm=False)
     encoder = HybridEncoder(in_channels=[128, 256, 512], hidden_dim=HIDDEN,
                             dim_feedforward=128, nhead=NHEAD, expansion=0.5)
@@ -212,9 +216,11 @@ def test_mobilenet_forward_parity(mode):
 
     back = convert_rtdetr_to_torch(params, stats, nhead=NHEAD)
     dead = ("temper_param", "encoder.encoder_fusion_input.weight")
+    dead_bb = (("backbone.conv_head.", "backbone.classifier.")
+               if mode == "ghostnetv2"
+               else ("backbone.linear3.", "backbone.bn3."))
     want = {k for k in sd if not k.endswith("num_batches_tracked")
-            and k not in dead
-            and not k.startswith(("backbone.linear3.", "backbone.bn3."))}
+            and k not in dead and not k.startswith(dead_bb)}
     assert set(back) == want, (
         f"missing={sorted(want - set(back))[:5]} "
         f"extra={sorted(set(back) - want)[:5]}"
@@ -222,7 +228,9 @@ def test_mobilenet_forward_parity(mode):
     for k in want:
         np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
 
-    cfg = RTDETRConfig(backbone=f"mobilenetv3_{mode}", hidden_dim=HIDDEN,
+    flax_backbone = ("ghostnetv2" if mode == "ghostnetv2"
+                     else f"mobilenetv3_{mode}")
+    cfg = RTDETRConfig(backbone=flax_backbone, hidden_dim=HIDDEN,
                        num_queries=QUERIES, num_decoder_layers=DEC_LAYERS,
                        dim_feedforward=128, nhead=NHEAD, expansion=0.5,
                        freeze_norm=False, num_classes=11,
