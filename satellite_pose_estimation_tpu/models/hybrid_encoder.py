@@ -245,10 +245,13 @@ class HybridEncoderModify(HybridEncoder):
                            x, train, self.dtype)
             proj.append(x)
 
+        from ..ops.image_warp import resize_bilinear_torch
+
         b, hm, wm, c = proj[1].shape
-        resize = lambda t: jax.image.resize(
-            t, (t.shape[0], hm, wm, t.shape[-1]), method="bilinear"
-        ).astype(self.dtype)
+        # torch-exact bilinear; the reference sizes BOTH axes from H
+        # (size=(shape[2], shape[2]), hybrid_encoder_modify.py:22-33) —
+        # bug-compatible for the square inputs it is used with
+        resize = lambda t: resize_bilinear_torch(t, hm, hm)
         p0 = resize(proj[0])
         p2 = resize(proj[2])
 

@@ -253,3 +253,59 @@ def test_mobilenet_forward_parity(mode):
             atol=1e-5, rtol=1e-5,
             err_msg=f"{ours} diverges from the torch reference ({mode})",
         )
+
+
+def test_hybrid_encoder_modify_parity():
+    """Live parity for the single-resolution fusion encoder variant
+    (R2/src/zoo/rtdetr/hybrid_encoder_modify.py:18-109): every level
+    resized to the middle level's (square) resolution, AIFI on the resized
+    deepest level, FPN/PAN without further resampling."""
+    import torch
+
+    from satellite_pose_estimation_tpu.models.hybrid_encoder import (
+        HybridEncoderModify,
+    )
+    from satellite_pose_estimation_tpu.utils.checkpoint_convert import (
+        convert_r2_rtdetr,
+    )
+
+    load_r2_modules()
+    from src.zoo.rtdetr.hybrid_encoder_modify import HybridEncoder_modify
+
+    torch.manual_seed(2)
+    enc = HybridEncoder_modify(in_channels=[128, 256, 512], hidden_dim=HIDDEN,
+                               dim_feedforward=128, nhead=NHEAD,
+                               expansion=0.5).double()
+    gen = torch.Generator().manual_seed(5)
+    with torch.no_grad():
+        for name, buf in enc.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(torch.randn(buf.shape, generator=gen).double() * 0.1)
+            elif name.endswith("running_var"):
+                buf.copy_((torch.rand(buf.shape, generator=gen) + 0.5)
+                          .double())
+    enc.eval()
+
+    sd = {"encoder." + k: v.numpy() for k, v in enc.state_dict().items()}
+    params, stats = convert_r2_rtdetr(sd, nhead=NHEAD)
+
+    rng = np.random.RandomState(23)
+    feats_t = [torch.from_numpy(rng.randn(2, ch, s, s))
+               for ch, s in ((128, 32), (256, 16), (512, 8))]
+    with torch.no_grad():
+        t_outs = enc(feats_t)
+
+    flax_enc = HybridEncoderModify(
+        in_channels=(128, 256, 512), hidden_dim=HIDDEN, dim_feedforward=128,
+        nhead=NHEAD, expansion=0.5, dtype=jnp.float64,
+    )
+    feats_f = [jnp.asarray(t.numpy().transpose(0, 2, 3, 1)) for t in feats_t]
+    f_outs = flax_enc.apply(
+        {"params": params["encoder"], "batch_stats": stats["encoder"]},
+        feats_f, train=False,
+    )
+    for i, (f, t) in enumerate(zip(f_outs, t_outs)):
+        np.testing.assert_allclose(
+            np.asarray(f).transpose(0, 3, 1, 2), t.numpy(),
+            atol=1e-5, rtol=1e-5, err_msg=f"level {i}",
+        )
