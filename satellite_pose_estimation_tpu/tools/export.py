@@ -18,7 +18,7 @@ from ..core.yaml_config import YAMLConfig
 
 
 def export(cfg_path: str, ckpt: str | None, out_dir: str, batch: int,
-           input_size: int, check: bool):
+           input_size: int, check: bool, deploy: bool = True):
     cfg = YAMLConfig(cfg_path)
     model = cfg.build_model()
 
@@ -38,6 +38,24 @@ def export(cfg_path: str, ckpt: str | None, out_dir: str, batch: int,
                 else {}
             ),
         }
+
+    if deploy and hasattr(model, "config") and hasattr(model.config,
+                                                       "deploy"):
+        # the reference's model.deploy() walk (R2/tools/export_onnx.py):
+        # fold RepVgg 3x3+1x1+BN branch pairs into single convs
+        import dataclasses
+
+        from ..models.rtdetr import RTDETR, convert_params_to_deploy
+
+        variables = {
+            "params": convert_params_to_deploy(
+                variables["params"], variables.get("batch_stats", {})
+            ),
+            **({"batch_stats": variables["batch_stats"]}
+               if "batch_stats" in variables else {}),
+        }
+        model = RTDETR(dataclasses.replace(model.config, deploy=True))
+        print("deploy mode: RepVgg branches fused")
 
     def forward(images):
         return model.apply(variables, images, train=False)
@@ -85,6 +103,8 @@ if __name__ == "__main__":
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--input_size", type=int, default=256)
     parser.add_argument("--check", action="store_true")
+    parser.add_argument("--no-deploy", dest="deploy", action="store_false",
+                        help="skip the RepVgg deploy fusion walk")
     args = parser.parse_args()
     export(args.config, args.resume, args.out_dir, args.batch,
-           args.input_size, args.check)
+           args.input_size, args.check, args.deploy)
