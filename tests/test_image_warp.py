@@ -226,3 +226,45 @@ def test_upsample_bilinear_align_corners_matches_torch(rng):
         ).numpy().transpose(0, 2, 3, 1)
         got = np.asarray(upsample_bilinear_align_corners(jnp.asarray(x), 2))
         np.testing.assert_allclose(got, want, atol=1e-6, err_msg=f"{h}x{w}")
+
+
+def test_resize_bilinear_torch_matches_interpolate(rng):
+    """torch F.interpolate(bilinear, align_corners=False, no antialias)
+    oracle — the custom-backbone branch resize (R2 mobilenetv3.py:219)."""
+    import torch.nn.functional as F
+    import torch
+
+    from satellite_pose_estimation_tpu.ops.image_warp import (
+        resize_bilinear_torch,
+    )
+
+    for (h, w), (oh, ow) in (((128, 128), (64, 64)), ((9, 7), (4, 3)),
+                             ((5, 5), (10, 10))):
+        x = rng.rand(2, h, w, 3).astype(np.float32)
+        want = F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                             size=(oh, ow), mode="bilinear",
+                             align_corners=False).numpy()
+        got = np.asarray(resize_bilinear_torch(jnp.asarray(x), oh, ow))
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                                   atol=1e-5, err_msg=f"{h}x{w}->{oh}x{ow}")
+
+
+def test_resize_bicubic_torch_matches_interpolate(rng):
+    """torch F.interpolate(bicubic, align_corners=False) oracle — the
+    encoder PAN 0.5x downsample (R2 hybrid_encoder.py:394)."""
+    import torch.nn.functional as F
+    import torch
+
+    from satellite_pose_estimation_tpu.ops.image_warp import (
+        resize_bicubic_torch,
+    )
+
+    for (h, w), (oh, ow) in (((16, 16), (8, 8)), ((12, 10), (6, 5)),
+                             ((6, 6), (12, 12))):
+        x = rng.rand(2, h, w, 3).astype(np.float32)
+        want = F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                             size=(oh, ow), mode="bicubic",
+                             align_corners=False).numpy()
+        got = np.asarray(resize_bicubic_torch(jnp.asarray(x), oh, ow))
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                                   atol=1e-4, err_msg=f"{h}x{w}->{oh}x{ow}")
