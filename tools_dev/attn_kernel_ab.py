@@ -19,7 +19,12 @@ Variants measured here (all VMEM-resident scores, grid (B,H)):
   floor    - matmuls only, exp elided (the kernel's arithmetic floor)
   hbatch   - all 8 heads per grid step (prices per-step overhead)
 
-Prints ms/iter per variant plus max|rel err| vs the f32 XLA reference.
+Prints ms/iter per variant plus max|abs diff|/mean|ref| vs the f32 XLA
+reference (a normalized max-abs metric, not elementwise relative error).
+CAUTION (learned post-hoc, see ab3/ab4): the FIRST timed variant reads
+~70 ms/iter too high on the remote tunnel — the 'warm' throwaway added
+below absorbs it. Do not run while tests/ is running (suite subprocesses
+touch the tunnel and pollute timings).
 Run ON TPU (each variant is a fresh ~minutes tunnel compile; expect
 ~15-25 min wall): python tools_dev/attn_kernel_ab.py
 """
@@ -182,12 +187,13 @@ def main():
     ref_out = np.asarray(ref_fn(*pool[0]), np.float32)
     denom = np.abs(ref_out).mean()
 
-    names = ["xla", "fused", "onesum", "fastexp", "nomax", "floor", "hbatch"]
+    names = ["warm", "xla", "fused", "onesum", "fastexp", "nomax", "floor",
+             "hbatch"]
     if ONLY:
         names = [n for n in names if n in ONLY]
     for name in names:
         try:
-            fn = jax.jit(build(name))
+            fn = ref_fn if name == "warm" else jax.jit(build(name))
             out = fn(*pool[0])
             err = float(np.abs(np.asarray(out, np.float32) - ref_out).max()
                         / denom)
