@@ -24,6 +24,7 @@ import re
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import flax
+import jax.numpy as jnp
 import optax
 
 __all__ = [
@@ -36,14 +37,30 @@ __all__ = [
 ]
 
 
+# Raw flax param leaves that are nn.Embedding WEIGHTS in the torch
+# reference (R1/models/detr_speed.py query_embed, R1/models/
+# position_encoding.py row/col_embed, R2/src/zoo/rtdetr/rtdetr_decoder.py
+# tgt_embed): torch names them '<leaf>.weight'.
+_EMBED_LEAVES = frozenset({"query_embed", "row_embed", "col_embed",
+                           "tgt_embed"})
+
+
 def torch_style_name(path: Tuple[str, ...]) -> str:
     """Dotted torch-style parameter name for a flax param path.
 
     ``kernel`` and ``scale`` leaves both surface as ``weight`` (conv/linear
-    kernels and norm scales are ``.weight`` in torch).
+    kernels and norm scales are ``.weight`` in torch); flax ``nn.Embed``'s
+    ``embedding`` leaf and the raw embedding-table leaves in
+    ``_EMBED_LEAVES`` surface as ``.weight`` too, so regex groups written
+    against torch ``named_parameters()`` (e.g. a ``.*weight$`` no-decay
+    group) select the same membership.
     """
-    leaf = {"kernel": "weight", "scale": "weight"}.get(path[-1], path[-1])
-    return ".".join(tuple(path[:-1]) + (leaf,))
+    leaf = path[-1]
+    if leaf in ("kernel", "scale", "embedding"):
+        return ".".join(tuple(path[:-1]) + ("weight",))
+    if leaf in _EMBED_LEAVES:
+        return ".".join(path) + ".weight"
+    return ".".join(path)
 
 
 def build_param_groups(
@@ -90,11 +107,17 @@ def _multistep(base_lr, steps_per_epoch, milestones=(), gamma=0.1, **_):
 
 
 def _cosine(base_lr, steps_per_epoch, T_max, eta_min=0.0, **_):
-    return optax.cosine_decay_schedule(
-        base_lr,
-        decay_steps=int(T_max) * steps_per_epoch,
-        alpha=(eta_min / base_lr if base_lr else 0.0),
-    )
+    # Torch CosineAnnealingLR (closed form): eta_min + (base - eta_min) *
+    # (1 + cos(pi * t / T_max)) / 2, which CYCLES on a 2*T_max period —
+    # optax.cosine_decay_schedule clamps at eta_min past T_max instead
+    # (a run with epoches > T_max would silently freeze at eta_min).
+    total = int(T_max) * steps_per_epoch
+
+    def sched(step):
+        return eta_min + (base_lr - eta_min) * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * step / total))
+
+    return sched
 
 
 def _onecycle(base_lr, steps_per_epoch, max_lr=None, total_steps=None,

@@ -161,13 +161,30 @@ def test_multistep_schedule():
 
 
 def test_cosine_schedule_matches_torch_formula():
+    # Torch's closed form CYCLES past T_max (period 2*T_max) rather than
+    # clamping at eta_min; t=60 below is past T_max*spe=40 and must rise.
     T_max, base, eta_min, spe = 8, 0.3, 0.03, 5
     s = make_schedule({"type": "CosineAnnealingLR", "T_max": T_max,
                        "eta_min": eta_min}, base_lr=base, steps_per_epoch=spe)
-    for t in [0, 7, 20, 40]:
+    for t in [0, 7, 20, 40, 60, 80]:
         expected = eta_min + (base - eta_min) * (
-            1 + np.cos(np.pi * min(t, T_max * spe) / (T_max * spe))) / 2
+            1 + np.cos(np.pi * t / (T_max * spe))) / 2
         assert float(s(t)) == pytest.approx(expected, rel=1e-6)
+    assert float(s(60)) > float(s(40))  # cycling back up, not frozen
+
+
+def test_torch_style_name_embeddings():
+    from satellite_pose_estimation_tpu.train.optim import torch_style_name
+
+    # nn.Embedding weights in the torch reference are '<name>.weight'.
+    assert torch_style_name(("query_embed",)) == "query_embed.weight"
+    assert torch_style_name(("decoder", "tgt_embed")) == \
+        "decoder.tgt_embed.weight"
+    assert torch_style_name(("pos_enc", "row_embed")) == \
+        "pos_enc.row_embed.weight"
+    assert torch_style_name(("emb", "embedding")) == "emb.weight"
+    assert torch_style_name(("m", "kernel")) == "m.weight"
+    assert torch_style_name(("m", "bias")) == "m.bias"
 
 
 def test_onecycle_schedule_peaks():
