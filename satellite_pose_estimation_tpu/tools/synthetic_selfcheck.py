@@ -95,7 +95,29 @@ def main(args):
         # round-1 reduced family (A/B control arm): no JPEG/ISO/blur-OneOf
         aug_overrides = {"p_jpeg": 0.0, "p_iso": 0.0, "p_blur_family": 0.0}
 
+    if getattr(args, "preset", "small") == "flagship":
+        # R2 headline architecture (configs/speed/rtdetr_r50vd_kl_4.yml,
+        # mirroring R2/configs/rtdetr_speed/rtdetr_r50vd_6x_speed_kl_4.yml):
+        # PResNet-50-vd + 256-dim HybridEncoder + 3-layer decoder.
+        arch = {
+            "PResNet": {"depth": 50, "variant": "d", "freeze_norm": False,
+                        "return_idx": [1, 2, 3]},
+            "HybridEncoder": {"hidden_dim": 256, "nhead": 8,
+                              "dim_feedforward": 1024, "expansion": 0.5},
+            "RTDETRTransformer": {"num_queries": 30,
+                                  "num_decoder_layers": 3},
+        }
+    else:
+        arch = {
+            "PResNet": {"depth": 18, "freeze_norm": False},
+            "HybridEncoder": {"hidden_dim": 64, "nhead": 4,
+                              "dim_feedforward": 128, "expansion": 0.5},
+            "RTDETRTransformer": {"num_queries": 30,
+                                  "num_decoder_layers": 3},
+        }
+
     cfg = YAMLConfig(cfg={
+        **arch,
         "augment": aug_overrides,
         "task": "landmarker",
         "model": "RTDETR",
@@ -104,10 +126,6 @@ def main(args):
         "checkpoint_step": 10000,
         "log_step": 5,
         "compute_dtype": args.dtype,
-        "PResNet": {"depth": 18, "freeze_norm": False},
-        "HybridEncoder": {"hidden_dim": 64, "nhead": 4,
-                          "dim_feedforward": 128, "expansion": 0.5},
-        "RTDETRTransformer": {"num_queries": 30, "num_decoder_layers": 3},
         "SetCriterion": {
             "losses": ["labels", "points_uncert"],
             "weight_dict": {"loss_ce": 1, "loss_bbox": 5},
@@ -151,4 +169,8 @@ if __name__ == "__main__":
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--aug", choices=("full", "r1"), default="full",
                         help="augmentation recipe: full reference family or the round-1 reduced control arm")
+    parser.add_argument("--preset", choices=("small", "flagship"),
+                        default="small",
+                        help="model size: small (r18/64-dim selfcheck) or "
+                             "flagship (r50vd/256-dim, the R2 headline arch)")
     main(parser.parse_args())
