@@ -54,18 +54,21 @@ class Compose:
 
 
 @register_transform(name="Resize")
-def _resize(size: int, rng=None):
+def _resize(size, rng=None):
+    # int -> square; (h, w) sequence accepted like torchvision's size=[640, 640]
+    th, tw = (size, size) if isinstance(size, int) else tuple(size)
+
     def apply(sample):
         import cv2
 
         img = sample["image"]
         H, W = img.shape[:2]
         sample = dict(sample)
-        sample["image"] = cv2.resize(img, (size, size),
+        sample["image"] = cv2.resize(img, (tw, th),
                                      interpolation=cv2.INTER_LINEAR)
         if "landmarks" in sample:
             lm = np.asarray(sample["landmarks"], np.float64)
-            sample["landmarks"] = lm * [size / W, size / H]
+            sample["landmarks"] = lm * [tw / W, th / H]
         # normalized boxes are resize-invariant
         return sample
 
@@ -390,7 +393,8 @@ def _pad_to_size(spatial_size, fill: float = 0, rng=None):
 
 
 @register_transform(name="RandomZoomOut")
-def _zoom_out(p: float = 0.5, max_scale: float = 2.0, rng=None):
+def _zoom_out(p: float = 0.5, max_scale: float = 2.0, fill: float = 0,
+              rng=None):
     def apply(sample):
         if rng.rand() >= p:
             return sample
@@ -399,7 +403,7 @@ def _zoom_out(p: float = 0.5, max_scale: float = 2.0, rng=None):
         H, W = img.shape[:2]
         scale = rng.uniform(1.0, max_scale)
         nh, nw = int(H * scale), int(W * scale)
-        canvas = np.zeros((nh, nw) + img.shape[2:], img.dtype)
+        canvas = np.full((nh, nw) + img.shape[2:], fill, img.dtype)
         oy, ox = rng.randint(0, nh - H + 1), rng.randint(0, nw - W + 1)
         canvas[oy:oy + H, ox:ox + W] = img
         sample["image"] = canvas

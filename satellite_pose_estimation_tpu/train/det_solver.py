@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.coco import CocoDetection, CocoEvaluator
+from ..data.transforms import Compose
 from ..losses.det_criterion import DetCriterionConfig, set_criterion_boxes
 from ..models.rtdetr import RTDETR, RTDETRConfig
 from ..ops.image_warp import IMAGENET_MEAN, IMAGENET_STD
@@ -31,6 +32,15 @@ def _prep_image(img: np.ndarray, size: int) -> np.ndarray:
     return (x - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
 
 
+# Tensorization is owned by the solver (_prep_image gives the jit program a
+# fixed shape and dtype); these registered ops from the reference recipe
+# (R2/configs/rtdetr/include/dataloader.yml) are therefore no-ops here.
+_SOLVER_OWNED_OPS = frozenset(
+    {"ToImageTensor", "ConvertDtype", "Normalize", "ConvertBox",
+     "EmptyTransform"}
+)
+
+
 class DetSolver:
     def __init__(self, cfg, data_root: str = "./data/coco", seed: int = 42,
                  max_targets: int = 100):
@@ -40,6 +50,22 @@ class DetSolver:
         self.max_targets = max_targets
         self.output_dir = cfg.output_dir
         os.makedirs(self.output_dir, exist_ok=True)
+
+    def _train_transforms(self) -> Optional[Compose]:
+        """Augmentation pipeline from train_dataloader.dataset.transforms.ops
+        (the reference composes torchvision v2 ops there,
+        R2/configs/rtdetr/include/dataloader.yml; ours come from
+        data/transforms.py). Tensorization ops are dropped — the solver
+        resizes/normalizes to the jit program's static shape itself."""
+        ops = (
+            (self.cfg.yaml_cfg.get("train_dataloader", {}) or {})
+            .get("dataset", {}).get("transforms", {}) or {}
+        ).get("ops") or []
+        ops = [op for op in ops if op.get("type") not in _SOLVER_OWNED_OPS]
+        if not ops:
+            return None
+        return Compose.from_config(
+            ops, rng=np.random.RandomState(self.seed + 1))
 
     def _build(self):
         c = self.cfg
@@ -52,10 +78,17 @@ class DetSolver:
         self.batch_size = int(
             (c.yaml_cfg.get("train_dataloader", {}) or {}).get("batch_size", 8)
         )
+        e = c.yaml_cfg.get("HybridEncoder", {}) or {}
         model_cfg = RTDETRConfig(
             depth=int(p.get("depth", 50)),
+            variant=str(p.get("variant", "d")),
+            return_idx=tuple(p.get("return_idx", (1, 2, 3))),
             freeze_norm=bool(p.get("freeze_norm", True)),
             num_classes=c.num_classes,
+            hidden_dim=int(e.get("hidden_dim", 256)),
+            nhead=int(e.get("nhead", 8)),
+            dim_feedforward=int(e.get("dim_feedforward", 1024)),
+            expansion=float(e.get("expansion", 1.0)),
             num_queries=int(t.get("num_queries", 300)),
             num_decoder_layers=int(t.get("num_decoder_layers", 6)),
             box_dim=4,
@@ -119,8 +152,10 @@ class DetSolver:
 
         self.eval_step = jax.jit(eval_step)
 
-    def _collate(self, samples):
+    def _collate(self, samples, transforms: Optional[Compose] = None):
         T = self.max_targets
+        if transforms is not None:
+            samples = [transforms(s) for s in samples]
         images = np.stack(
             [_prep_image(s["image"], self.resize) for s in samples]
         )
@@ -132,17 +167,33 @@ class DetSolver:
             boxes[i, :n] = s["boxes"][:n]
         return images, labels, boxes
 
+    def _dataset(self, which: str) -> CocoDetection:
+        """COCO split from <which>_dataloader.dataset (img_dir/ann_file
+        relative to data_root), honoring remap_mscoco_category."""
+        default_dir = "train2017" if which == "train" else "val2017"
+        ds_cfg = (
+            (self.cfg.yaml_cfg.get(f"{which}_dataloader", {}) or {})
+            .get("dataset", {}) or {}
+        )
+        return CocoDetection(
+            os.path.join(self.data_root, ds_cfg.get("img_dir", default_dir)),
+            os.path.join(
+                self.data_root,
+                ds_cfg.get("ann_file",
+                           f"annotations/instances_{default_dir}.json"),
+            ),
+            resize=self.resize,
+            remap_mscoco_category=bool(
+                self.cfg.yaml_cfg.get("remap_mscoco_category", False)),
+        )
+
     def fit(self, epochs: Optional[int] = None):
         self._build()
-        train_ds = CocoDetection(
-            os.path.join(self.data_root, "train2017"),
-            os.path.join(self.data_root,
-                         "annotations/instances_train2017.json"),
-            resize=self.resize,
-        )
+        train_ds = self._dataset("train")
         rng = jax.random.PRNGKey(self.seed)
         order = np.arange(len(train_ds))
         np_rng = np.random.RandomState(self.seed)
+        train_tf = self._train_transforms()
         best_stat = {"AP": 0.0}
         for epoch in range(epochs or self.cfg.epoches):
             np_rng.shuffle(order)
@@ -150,7 +201,7 @@ class DetSolver:
                                self.batch_size):
                 samples = [train_ds[int(i)]
                            for i in order[start:start + self.batch_size]]
-                images, labels, boxes = self._collate(samples)
+                images, labels, boxes = self._collate(samples, train_tf)
                 rng, k = jax.random.split(rng)
                 self.state, losses = self.train_step(
                     self.state, jnp.asarray(images), jnp.asarray(labels),
@@ -166,11 +217,7 @@ class DetSolver:
     def val(self, build: bool = True, max_images: Optional[int] = None):
         if build:
             self._build()
-        val_ds = CocoDetection(
-            os.path.join(self.data_root, "val2017"),
-            os.path.join(self.data_root, "annotations/instances_val2017.json"),
-            resize=self.resize,
-        )
+        val_ds = self._dataset("val")
         evaluator = CocoEvaluator()
         n = min(len(val_ds), max_images or len(val_ds))
         for start in range(0, n, self.batch_size):

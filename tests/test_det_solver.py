@@ -57,7 +57,18 @@ def test_det_solver_fit_and_val(tmp_path, rng):
         "RTDETRTransformer": {"num_queries": 10, "num_decoder_layers": 2},
         "optimizer": {"lr": 1e-4},
         "train_dataloader": {"batch_size": 2,
-                             "dataset": {"resize": 96}},
+                             "dataset": {"resize": 96, "transforms": {"ops": [
+                                 {"type": "RandomPhotometricDistort",
+                                  "p": 0.5},
+                                 {"type": "RandomIoUCrop",
+                                  "sampler_options": [0.0, 1.0]},
+                                 {"type": "SanitizeBoundingBox",
+                                  "min_size": 1},
+                                 {"type": "RandomHorizontalFlip"},
+                                 {"type": "Resize", "size": 96},
+                                 {"type": "ConvertBox", "out_fmt": "cxcywh",
+                                  "normalize": True},
+                             ]}}},
         "val_dataloader": {"batch_size": 2, "dataset": {"resize": 96}},
     })
     solver = DetSolver(cfg, data_root=root, seed=0, max_targets=8)
