@@ -41,6 +41,18 @@ _SOLVER_OWNED_OPS = frozenset(
 )
 
 
+def _parse_multi_scale(yaml_cfg) -> Optional[list]:
+    """Multi-scale train resize list (RTDETR.multi_scale,
+    R2/src/zoo/rtdetr/rtdetr.py:37-39: F.interpolate to a random size inside
+    forward). Under XLA a data-dependent shape cannot live in the graph; the
+    TPU-native form picks the size on the HOST per batch and relies on jit's
+    per-shape program cache — one compiled train program per distinct size,
+    reused across the run. Duplicates (640 x3 upstream) are kept: they
+    weight the host-side np.random.choice like the reference's."""
+    ms = (yaml_cfg.get("RTDETR", {}) or {}).get("multi_scale")
+    return [int(s) for s in ms] if ms else None
+
+
 class DetSolver:
     def __init__(self, cfg, data_root: str = "./data/coco", seed: int = 42,
                  max_targets: int = 100):
@@ -78,6 +90,7 @@ class DetSolver:
         self.batch_size = int(
             (c.yaml_cfg.get("train_dataloader", {}) or {}).get("batch_size", 8)
         )
+        self.multi_scale = _parse_multi_scale(c.yaml_cfg)
         e = c.yaml_cfg.get("HybridEncoder", {}) or {}
         model_cfg = RTDETRConfig(
             depth=int(p.get("depth", 50)),
@@ -152,12 +165,13 @@ class DetSolver:
 
         self.eval_step = jax.jit(eval_step)
 
-    def _collate(self, samples, transforms: Optional[Compose] = None):
+    def _collate(self, samples, transforms: Optional[Compose] = None,
+                 size: Optional[int] = None):
         T = self.max_targets
         if transforms is not None:
             samples = [transforms(s) for s in samples]
         images = np.stack(
-            [_prep_image(s["image"], self.resize) for s in samples]
+            [_prep_image(s["image"], size or self.resize) for s in samples]
         )
         labels = np.full((len(samples), T), -1, np.int32)
         boxes = np.zeros((len(samples), T, 4), np.float32)
@@ -201,7 +215,9 @@ class DetSolver:
                                self.batch_size):
                 samples = [train_ds[int(i)]
                            for i in order[start:start + self.batch_size]]
-                images, labels, boxes = self._collate(samples, train_tf)
+                sz = (int(np_rng.choice(self.multi_scale))
+                      if self.multi_scale else None)
+                images, labels, boxes = self._collate(samples, train_tf, sz)
                 rng, k = jax.random.split(rng)
                 self.state, losses = self.train_step(
                     self.state, jnp.asarray(images), jnp.asarray(labels),

@@ -21,6 +21,9 @@ def test_r50vd_coco_config():
     assert cfg.yaml_cfg["PResNet"]["depth"] == 50
     assert cfg.yaml_cfg["RTDETRTransformer"]["num_queries"] == 300
     assert cfg.yaml_cfg["RTDETRTransformer"]["num_decoder_layers"] == 6
+    # 13-entry multi-scale list, 640 weighted x3 (reference line 12)
+    ms = cfg.yaml_cfg["RTDETR"]["multi_scale"]
+    assert len(ms) == 13 and ms.count(640) == 3
     assert cfg.epoches == 72
     ops = cfg.yaml_cfg["train_dataloader"]["dataset"]["transforms"]["ops"]
     assert {o["type"] for o in ops} >= {

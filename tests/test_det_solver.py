@@ -54,6 +54,11 @@ def test_det_solver_fit_and_val(tmp_path, rng):
         "epoches": 1,
         "output_dir": str(tmp_path / "out"),
         "PResNet": {"depth": 18, "freeze_norm": False},
+        # multi-scale train resize: every train batch runs at 64 while the
+        # model inits and validates at 96 — exercises the host-side size
+        # choice + per-shape jit cache (the XLA form of the reference's
+        # in-forward F.interpolate, R2/src/zoo/rtdetr/rtdetr.py:37-39)
+        "RTDETR": {"multi_scale": [64]},
         "RTDETRTransformer": {"num_queries": 10, "num_decoder_layers": 2},
         "optimizer": {"lr": 1e-4},
         "train_dataloader": {"batch_size": 2,
@@ -74,3 +79,17 @@ def test_det_solver_fit_and_val(tmp_path, rng):
     solver = DetSolver(cfg, data_root=root, seed=0, max_targets=8)
     best = solver.fit(epochs=1)
     assert "AP" in best and np.isfinite(best["AP"])
+    assert solver.multi_scale == [64]
+
+
+def test_multi_scale_parse_keeps_choice_weights():
+    """Duplicate sizes (640 x3 upstream) must survive parsing — they weight
+    the host-side np.random.choice like the reference's."""
+    from satellite_pose_estimation_tpu.train.det_solver import (
+        _parse_multi_scale,
+    )
+
+    yaml_cfg = {"RTDETR": {"multi_scale": [480, 640, 640, 640, 800]}}
+    assert _parse_multi_scale(yaml_cfg) == [480, 640, 640, 640, 800]
+    assert _parse_multi_scale({"RTDETR": {"multi_scale": False}}) is None
+    assert _parse_multi_scale({}) is None
