@@ -22,7 +22,10 @@ def main(args):
     if args.tuning:
         solver.tuning(args.tuning)
     if args.test_only:
-        stats, _ = solver.val()
+        ret = solver.val()
+        # landmarker val() returns (scalar_summary, evaluator); detection
+        # returns the COCO stat dict
+        stats = ret[0] if isinstance(ret, tuple) else ret
         print(stats)
     else:
         solver.fit()

@@ -3,8 +3,10 @@ R2/solver/det_solver.py:24-148).
 
 Runs the 4-D box RT-DETR on a COCO-format dataset: jitted train step with
 the vfl+boxes criterion, eval with the pure-numpy COCO-protocol evaluator,
-best_stat tracking. Fixed shapes: per-image targets are padded to
-max_targets with label -1.
+best_stat tracking, per-epoch orbax checkpoints + JSON-lines log.txt and
+resume/tuning hooks (R2/solver/det_solver.py:60-117 writes checkpoint.pth
+per epoch and log.txt stat lines). Fixed shapes: per-image targets are
+padded to max_targets with label -1.
 """
 from __future__ import annotations
 
@@ -21,6 +23,7 @@ from ..data.transforms import Compose
 from ..losses.det_criterion import DetCriterionConfig, set_criterion_boxes
 from ..models.rtdetr import RTDETR, RTDETRConfig
 from ..ops.image_warp import IMAGENET_MEAN, IMAGENET_STD
+from .solver import CheckpointMixin
 from .state import create_train_state
 
 
@@ -53,7 +56,7 @@ def _parse_multi_scale(yaml_cfg) -> Optional[list]:
     return [int(s) for s in ms] if ms else None
 
 
-class DetSolver:
+class DetSolver(CheckpointMixin):
     def __init__(self, cfg, data_root: str = "./data/coco", seed: int = 42,
                  max_targets: int = 100):
         self.cfg = cfg
@@ -62,6 +65,10 @@ class DetSolver:
         self.max_targets = max_targets
         self.output_dir = cfg.output_dir
         os.makedirs(self.output_dir, exist_ok=True)
+        self.mesh = None
+        self.start_epoch = 0
+        self._resume_path = None
+        self._tuning_path = None
 
     def _train_transforms(self) -> Optional[Compose]:
         """Augmentation pipeline from train_dataloader.dataset.transforms.ops
@@ -165,6 +172,11 @@ class DetSolver:
 
         self.eval_step = jax.jit(eval_step)
 
+        if self._tuning_path:
+            self._load_tuning(self._tuning_path)
+        if self._resume_path:
+            self._load_checkpoint(self._resume_path)
+
     def _collate(self, samples, transforms: Optional[Compose] = None,
                  size: Optional[int] = None):
         T = self.max_targets
@@ -208,9 +220,12 @@ class DetSolver:
         order = np.arange(len(train_ds))
         np_rng = np.random.RandomState(self.seed)
         train_tf = self._train_transforms()
+        log_path = os.path.join(self.output_dir, "log.txt")
         best_stat = {"AP": 0.0}
-        for epoch in range(epochs or self.cfg.epoches):
+        n_epochs = epochs or self.cfg.epoches
+        for epoch in range(self.start_epoch, n_epochs):
             np_rng.shuffle(order)
+            epoch_losses = []
             for start in range(0, len(order) - self.batch_size + 1,
                                self.batch_size):
                 samples = [train_ds[int(i)]
@@ -223,9 +238,28 @@ class DetSolver:
                     self.state, jnp.asarray(images), jnp.asarray(labels),
                     jnp.asarray(boxes), k,
                 )
+                epoch_losses.append(losses)
             stats = self.val(build=False)
+            if (epoch + 1) % self.cfg.checkpoint_step == 0 or \
+                    epoch + 1 == n_epochs:
+                self.save_checkpoint(epoch)
+                self.save_checkpoint(epoch, name=f"checkpoint{epoch:04d}")
             if stats["AP"] > best_stat["AP"]:
                 best_stat = stats
+                self.save_checkpoint(epoch, name="checkpoint_best")
+            # JSON-lines stat log (R2/solver/det_solver.py:100-107 writes
+            # train/test stats + epoch to log.txt per epoch)
+            mean_losses = {
+                k: float(np.mean([jax.device_get(l[k])
+                                  for l in epoch_losses]))
+                for k in epoch_losses[0]
+            } if epoch_losses else {}
+            with open(log_path, "a") as f:
+                f.write(json.dumps(
+                    {"epoch": epoch,
+                     **{f"train_{k}": v for k, v in mean_losses.items()},
+                     **{f"test_{k}": float(v) for k, v in stats.items()}}
+                ) + "\n")
             print(f"epoch {epoch}: AP {stats['AP']:.4f} "
                   f"(best {best_stat['AP']:.4f})")
         return best_stat

@@ -38,7 +38,90 @@ def _tree_flatten_with_path(params):
     return flax.traverse_util.flatten_dict(params)
 
 
-class SpeedSolver:
+class CheckpointMixin:
+    """Orbax full-state checkpointing + resume/tuning hooks shared by every
+    task solver (R2/solver/solver.py:104-178: BaseSolver's save/resume/
+    load_tuning are task-independent there too). Host class provides
+    self.state, self.output_dir, and optionally self.mesh."""
+
+    def _ckpt_dir(self, name):
+        return os.path.abspath(os.path.join(self.output_dir, name))
+
+    def save_checkpoint(self, epoch: int, name: str = "checkpoint"):
+        import orbax.checkpoint as ocp
+
+        path = self._ckpt_dir(name)
+        ckptr = ocp.StandardCheckpointer()
+        payload = {
+            "params": jax.device_get(self.state.params),
+            "batch_stats": jax.device_get(self.state.batch_stats),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "ema_params": jax.device_get(self.state.ema_params),
+            "step": int(self.state.step),
+            "last_epoch": epoch,
+        }
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
+
+    def _load_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        target = {
+            "params": jax.device_get(self.state.params),
+            "batch_stats": jax.device_get(self.state.batch_stats),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "ema_params": jax.device_get(self.state.ema_params),
+            "step": 0,
+            "last_epoch": 0,
+        }
+        restored = ckptr.restore(os.path.abspath(path), target)
+        self.state = self.state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            ema_params=restored["ema_params"],
+            step=jnp.asarray(restored["step"], jnp.int32),
+        )
+        self.start_epoch = int(restored["last_epoch"]) + 1
+        if getattr(self, "mesh", None) is not None:
+            self.state = replicate_tree(self.state, self.mesh)
+        print(f"Resume checkpoint from {path} (epoch {self.start_epoch})")
+
+    def _load_tuning(self, path: str):
+        """Shape-matched partial load, preferring EMA weights
+        (R2/solver/solver.py:141-178)."""
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        restored = ckptr.restore(os.path.abspath(path))
+        src = restored.get("ema_params") or restored.get("params") or {}
+        cur = _tree_flatten_with_path(self.state.params)
+        new = _tree_flatten_with_path(src) if src else {}
+        matched, skipped = {}, 0
+        for k, v in cur.items():
+            cand = new.get(k)
+            if cand is not None and np.shape(cand) == np.shape(v):
+                matched[k] = jnp.asarray(cand, v.dtype)
+            else:
+                matched[k] = v
+                skipped += 1
+        import flax
+
+        self.state = self.state.replace(
+            params=flax.traverse_util.unflatten_dict(matched)
+        )
+        print(f"Load tuning state from {path}: {len(matched) - skipped} "
+              f"matched, {skipped} kept")
+
+    def resume(self, path: str):
+        self._resume_path = path
+
+    def tuning(self, path: str):
+        self._tuning_path = path
+
+
+class SpeedSolver(CheckpointMixin):
     """Landmarker-task solver (SPEED keypoints -> pose)."""
 
     def __init__(self, cfg: YAMLConfig, data_root: str = "./data/speed",
@@ -124,83 +207,6 @@ class SpeedSolver:
             self._load_tuning(self._tuning_path)
         if self._resume_path:
             self._load_checkpoint(self._resume_path)
-
-    # --- checkpointing --------------------------------------------------
-    def _ckpt_dir(self, name):
-        return os.path.abspath(os.path.join(self.output_dir, name))
-
-    def save_checkpoint(self, epoch: int, name: str = "checkpoint"):
-        import orbax.checkpoint as ocp
-
-        path = self._ckpt_dir(name)
-        ckptr = ocp.StandardCheckpointer()
-        payload = {
-            "params": jax.device_get(self.state.params),
-            "batch_stats": jax.device_get(self.state.batch_stats),
-            "opt_state": jax.device_get(self.state.opt_state),
-            "ema_params": jax.device_get(self.state.ema_params),
-            "step": int(self.state.step),
-            "last_epoch": epoch,
-        }
-        ckptr.save(path, payload, force=True)
-        ckptr.wait_until_finished()
-
-    def _load_checkpoint(self, path: str):
-        import orbax.checkpoint as ocp
-
-        ckptr = ocp.StandardCheckpointer()
-        target = {
-            "params": jax.device_get(self.state.params),
-            "batch_stats": jax.device_get(self.state.batch_stats),
-            "opt_state": jax.device_get(self.state.opt_state),
-            "ema_params": jax.device_get(self.state.ema_params),
-            "step": 0,
-            "last_epoch": 0,
-        }
-        restored = ckptr.restore(os.path.abspath(path), target)
-        self.state = self.state.replace(
-            params=restored["params"],
-            batch_stats=restored["batch_stats"],
-            opt_state=restored["opt_state"],
-            ema_params=restored["ema_params"],
-            step=jnp.asarray(restored["step"], jnp.int32),
-        )
-        self.start_epoch = int(restored["last_epoch"]) + 1
-        if self.mesh is not None:
-            self.state = replicate_tree(self.state, self.mesh)
-        print(f"Resume checkpoint from {path} (epoch {self.start_epoch})")
-
-    def _load_tuning(self, path: str):
-        """Shape-matched partial load, preferring EMA weights
-        (R2/solver/solver.py:141-178)."""
-        import orbax.checkpoint as ocp
-
-        ckptr = ocp.PyTreeCheckpointer()
-        restored = ckptr.restore(os.path.abspath(path))
-        src = restored.get("ema_params") or restored.get("params") or {}
-        cur = _tree_flatten_with_path(self.state.params)
-        new = _tree_flatten_with_path(src) if src else {}
-        matched, skipped = {}, 0
-        for k, v in cur.items():
-            cand = new.get(k)
-            if cand is not None and np.shape(cand) == np.shape(v):
-                matched[k] = jnp.asarray(cand, v.dtype)
-            else:
-                matched[k] = v
-                skipped += 1
-        import flax
-
-        self.state = self.state.replace(
-            params=flax.traverse_util.unflatten_dict(matched)
-        )
-        print(f"Load tuning state from {path}: {len(matched) - skipped} "
-              f"matched, {skipped} kept")
-
-    def resume(self, path: str):
-        self._resume_path = path
-
-    def tuning(self, path: str):
-        self._tuning_path = path
 
     # --- training -------------------------------------------------------
     def _tb_writer(self):

@@ -2,6 +2,7 @@
 import json
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -80,6 +81,27 @@ def test_det_solver_fit_and_val(tmp_path, rng):
     best = solver.fit(epochs=1)
     assert "AP" in best and np.isfinite(best["AP"])
     assert solver.multi_scale == [64]
+
+    # per-epoch artifacts: final checkpoint + JSON-lines log.txt
+    # (R2/solver/det_solver.py:60-117)
+    out = str(tmp_path / "out")
+    assert os.path.isdir(os.path.join(out, "checkpoint"))
+    with open(os.path.join(out, "log.txt")) as f:
+        entry = json.loads(f.readline())
+    assert entry["epoch"] == 0 and np.isfinite(entry["test_AP"])
+    assert any(k.startswith("train_") for k in entry)
+
+    # resume: a fresh solver restores the full state and continues past it
+    solver2 = DetSolver(cfg, data_root=root, seed=0, max_targets=8)
+    solver2.resume(os.path.join(out, "checkpoint"))
+    solver2._build()
+    assert solver2.start_epoch == 1
+    np.testing.assert_allclose(
+        np.asarray(
+            next(iter(jax.tree_util.tree_leaves(solver2.state.params)))),
+        np.asarray(
+            next(iter(jax.tree_util.tree_leaves(solver.state.params)))),
+    )
 
 
 def test_multi_scale_parse_keeps_choice_weights():
