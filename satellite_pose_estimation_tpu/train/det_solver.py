@@ -23,6 +23,7 @@ from ..data.transforms import Compose
 from ..losses.det_criterion import DetCriterionConfig, set_criterion_boxes
 from ..models.rtdetr import RTDETR, RTDETRConfig
 from ..ops.image_warp import IMAGENET_MEAN, IMAGENET_STD
+from .ema import ema_update
 from .solver import CheckpointMixin
 from .state import create_train_state
 
@@ -155,15 +156,27 @@ class DetSolver(CheckpointMixin):
             new_params = jax.tree_util.tree_map(
                 lambda a, u: a + u, state.params, updates
             )
+            # per-step EMA shadow (R2/solver/det_engine.py updates ema
+            # after every optimizer step when use_ema is on)
+            new_ema = (
+                ema_update(state.ema_params, new_params, state.step,
+                           self.train_cfg.ema_decay)
+                if state.ema_params is not None else None
+            )
             return state.replace(
                 step=state.step + 1, params=new_params,
                 batch_stats=new_stats, opt_state=new_opt,
+                ema_params=new_ema,
             ), losses
 
         self.train_step = jax.jit(train_step, donate_argnums=(0,))
 
         def eval_step(state, images):
-            variables = {"params": state.params}
+            # the reference evaluates the EMA module when present
+            # (R2/solver/det_solver.py:76-78)
+            params = (state.ema_params if state.ema_params is not None
+                      else state.params)
+            variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             out = state.apply_fn(variables, images, train=False)

@@ -62,6 +62,7 @@ def test_det_solver_fit_and_val(tmp_path, rng):
         "RTDETR": {"multi_scale": [64]},
         "RTDETRTransformer": {"num_queries": 10, "num_decoder_layers": 2},
         "optimizer": {"lr": 1e-4},
+        "use_ema": True,
         "train_dataloader": {"batch_size": 2,
                              "dataset": {"resize": 96, "transforms": {"ops": [
                                  {"type": "RandomPhotometricDistort",
@@ -96,6 +97,8 @@ def test_det_solver_fit_and_val(tmp_path, rng):
     solver2.resume(os.path.join(out, "checkpoint"))
     solver2._build()
     assert solver2.start_epoch == 1
+    # EMA shadow trained + restored (use_ema: true in det configs)
+    assert solver2.state.ema_params is not None
     np.testing.assert_allclose(
         np.asarray(
             next(iter(jax.tree_util.tree_leaves(solver2.state.params)))),
