@@ -107,6 +107,30 @@ def test_det_solver_fit_and_val(tmp_path, rng):
     )
 
 
+def test_train_cli_test_only_detection(tmp_path, rng):
+    """R2 CLI surface for the det task: -c <yml> --test-only routes through
+    TASKS to DetSolver.val and prints the COCO stat dict
+    (R2/tools/train.py:16-68)."""
+    import argparse
+
+    import yaml
+
+    from satellite_pose_estimation_tpu.tools.train import main
+
+    root = make_fake_coco(str(tmp_path / "coco"), rng=rng)
+    cfg_path = tmp_path / "det.yml"
+    cfg_path.write_text(yaml.safe_dump({
+        "task": "detection",
+        "num_classes": 5,
+        "output_dir": str(tmp_path / "out"),
+        "PResNet": {"depth": 18, "freeze_norm": False},
+        "RTDETRTransformer": {"num_queries": 10, "num_decoder_layers": 2},
+        "val_dataloader": {"batch_size": 2, "dataset": {"resize": 64}},
+    }))
+    main(argparse.Namespace(config=str(cfg_path), resume=None, tuning=None,
+                            test_only=True, data_root=root, seed=0))
+
+
 def test_multi_scale_parse_keeps_choice_weights():
     """Duplicate sizes (640 x3 upstream) must survive parsing — they weight
     the host-side np.random.choice like the reference's."""
