@@ -51,6 +51,14 @@ def test_r101vd_coco_config_overrides():
     assert cfg.yaml_cfg["HybridEncoder"]["dim_feedforward"] == 2048
 
 
+def test_build_model_uses_box_head_for_detection():
+    """YAMLConfig.build_model on a det config must produce the 4-D box
+    decoder (export/tooling path), not the 2-D keypoint flavor."""
+    cfg = _load("rtdetr_r50vd_6x_coco.yml")
+    model = cfg.build_model()
+    assert model.config.box_dim == 4
+
+
 def test_det_solver_builds_train_transforms(tmp_path):
     from satellite_pose_estimation_tpu.train.det_solver import DetSolver
 
