@@ -280,7 +280,10 @@ class DetSolver(CheckpointMixin):
     def val(self, build: bool = True, max_images: Optional[int] = None):
         if build:
             self._build()
-        val_ds = self._dataset("val")
+        # parse the val annotation JSON once, not once per epoch
+        if getattr(self, "_val_ds", None) is None:
+            self._val_ds = self._dataset("val")
+        val_ds = self._val_ds
         evaluator = CocoEvaluator()
         n = min(len(val_ds), max_images or len(val_ds))
         for start in range(0, n, self.batch_size):
