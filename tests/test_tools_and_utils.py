@@ -235,3 +235,30 @@ def test_yaml_augment_config():
     bad = YAMLConfig(cfg={"augment": {"p_tpyo": 1.0}})
     with _pytest.raises(ValueError, match="unknown augment"):
         bad.augment_config(96)
+
+
+def test_synthetic_det_dataset_renders_valid_coco(tmp_path):
+    """synthetic_det_selfcheck.render_dataset writes a COCO-format dataset
+    CocoDetection can load: normalized cxcywh targets inside [0,1], both
+    shape classes present."""
+    from satellite_pose_estimation_tpu.data.coco import CocoDetection
+    from satellite_pose_estimation_tpu.tools.synthetic_det_selfcheck import (
+        N_CLASSES, render_dataset,
+    )
+
+    render_dataset(str(tmp_path), n_images=6, seed=0)
+    ds = CocoDetection(
+        str(tmp_path / "train2017"),
+        str(tmp_path / "annotations" / "instances_train2017.json"),
+        resize=64,
+    )
+    assert len(ds) == 6
+    labels = []
+    for i in range(len(ds)):
+        s = ds[i]
+        assert s["image"].shape == (160, 160, 3)  # solver resizes, not ds
+        assert len(s["boxes"]) >= 1
+        b = np.asarray(s["boxes"])
+        assert (b >= 0).all() and (b <= 1).all()
+        labels.extend(np.asarray(s["labels"]).tolist())
+    assert set(labels) <= set(range(N_CLASSES)) and len(set(labels)) == 2
