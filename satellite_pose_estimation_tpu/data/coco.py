@@ -27,13 +27,14 @@ MSCOCO2LABEL = {cid: i for i, cid in enumerate(MSCOCO_CATEGORY_IDS)}
 
 
 class CocoDetection:
-    """Minimal COCO-instances dataset: decode + fixed-size resize +
-    normalized cxcywh box targets."""
+    """Minimal COCO-instances dataset: decode + normalized cxcywh box
+    targets. Images come back at original size — the solver owns the
+    fixed-shape resize (train/det_solver._prep_image), so multi-scale
+    training re-resizes from the source pixels, not a pre-shrunk copy."""
 
-    def __init__(self, img_dir: str, ann_file: str, resize: int = 640,
+    def __init__(self, img_dir: str, ann_file: str,
                  remap_mscoco_category: bool = False):
         self.img_dir = img_dir
-        self.resize = resize
         self.remap = remap_mscoco_category
         with open(ann_file) as f:
             coco = json.load(f)

@@ -221,7 +221,6 @@ class DetSolver(CheckpointMixin):
                 ds_cfg.get("ann_file",
                            f"annotations/instances_{default_dir}.json"),
             ),
-            resize=self.resize,
             remap_mscoco_category=bool(
                 self.cfg.yaml_cfg.get("remap_mscoco_category", False)),
         )

@@ -250,7 +250,6 @@ def test_synthetic_det_dataset_renders_valid_coco(tmp_path):
     ds = CocoDetection(
         str(tmp_path / "train2017"),
         str(tmp_path / "annotations" / "instances_train2017.json"),
-        resize=64,
     )
     assert len(ds) == 6
     labels = []
