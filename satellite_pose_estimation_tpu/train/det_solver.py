@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.coco import CocoDetection, CocoEvaluator
+from ..data.prefetch import prefetch_to_device
 from ..data.transforms import Compose
 from ..losses.det_criterion import DetCriterionConfig, set_criterion_boxes
 from ..models.rtdetr import RTDETR, RTDETRConfig
@@ -33,7 +34,8 @@ def _prep_image(img: np.ndarray, size: int) -> np.ndarray:
 
     im = Image.fromarray(img).resize((size, size), Image.BILINEAR)
     x = np.asarray(im, np.float32) / 255.0
-    return (x - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+    return ((x - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+            ).astype(np.float32)
 
 
 # Tensorization is owned by the solver (_prep_image gives the jit program a
@@ -238,17 +240,27 @@ class DetSolver(CheckpointMixin):
         for epoch in range(self.start_epoch, n_epochs):
             np_rng.shuffle(order)
             epoch_losses = []
-            for start in range(0, len(order) - self.batch_size + 1,
-                               self.batch_size):
-                samples = [train_ds[int(i)]
-                           for i in order[start:start + self.batch_size]]
-                sz = (int(np_rng.choice(self.multi_scale))
-                      if self.multi_scale else None)
-                images, labels, boxes = self._collate(samples, train_tf, sz)
+
+            # decode + augment + H2D on a background thread so host work
+            # hides behind the step (the reference's DataLoader num_workers;
+            # same prefetch as the landmarker path, data/prefetch.py)
+            def host_batches():
+                for start in range(0, len(order) - self.batch_size + 1,
+                                   self.batch_size):
+                    samples = [train_ds[int(i)]
+                               for i in order[start:start + self.batch_size]]
+                    sz = (int(np_rng.choice(self.multi_scale))
+                          if self.multi_scale else None)
+                    images, labels, boxes = self._collate(
+                        samples, train_tf, sz)
+                    yield {"images": images, "labels": labels,
+                           "boxes": boxes}
+
+            for batch in prefetch_to_device(host_batches(), size=2):
                 rng, k = jax.random.split(rng)
                 self.state, losses = self.train_step(
-                    self.state, jnp.asarray(images), jnp.asarray(labels),
-                    jnp.asarray(boxes), k,
+                    self.state, batch["images"], batch["labels"],
+                    batch["boxes"], k,
                 )
                 epoch_losses.append(losses)
             stats = self.val(build=False)
