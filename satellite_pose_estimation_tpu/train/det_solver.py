@@ -24,6 +24,7 @@ from ..data.transforms import Compose
 from ..losses.det_criterion import DetCriterionConfig, set_criterion_boxes
 from ..models.rtdetr import RTDETR, RTDETRConfig
 from ..ops.image_warp import IMAGENET_MEAN, IMAGENET_STD
+from ..parallel.mesh import create_mesh, replicate_tree, shard_batch
 from .ema import ema_update
 from .solver import CheckpointMixin
 from .state import create_train_state
@@ -126,6 +127,19 @@ class DetSolver(CheckpointMixin):
             self.train_cfg,
             tx=lambda params: c.build_tx(params),
         )
+
+        # data parallelism: replicate params over the largest mesh that
+        # divides the batch, shard batches over it (same SPMD wiring as
+        # the landmarker solver; the reference's DDP warp_model,
+        # R2/src/misc/dist.py)
+        if self.mesh is None and len(jax.devices()) > 1:
+            n = len(jax.devices())
+            while n > 1 and self.batch_size % n:
+                n -= 1
+            if n > 1:
+                self.mesh = create_mesh(n)
+        if self.mesh is not None:
+            self.state = replicate_tree(self.state, self.mesh)
 
         def train_step(state, images, labels, boxes, rng):
             def loss_fn(params):
@@ -256,7 +270,8 @@ class DetSolver(CheckpointMixin):
                     yield {"images": images, "labels": labels,
                            "boxes": boxes}
 
-            for batch in prefetch_to_device(host_batches(), size=2):
+            for batch in prefetch_to_device(host_batches(), size=2,
+                                            mesh=self.mesh):
                 rng, k = jax.random.split(rng)
                 self.state, losses = self.train_step(
                     self.state, batch["images"], batch["labels"],
@@ -301,8 +316,13 @@ class DetSolver(CheckpointMixin):
             samples = [val_ds[i]
                        for i in range(start, min(start + self.batch_size, n))]
             images, _, _ = self._collate(samples)
-            out = jax.device_get(self.eval_step(self.state,
-                                                jnp.asarray(images)))
+            if self.mesh is not None and \
+                    len(samples) % self.mesh.devices.size == 0:
+                images = shard_batch({"images": images},
+                                     self.mesh)["images"]
+            else:  # ragged tail batch: let GSPMD reshard from one device
+                images = jnp.asarray(images)
+            out = jax.device_get(self.eval_step(self.state, images))
             for i, s in enumerate(samples):
                 W, H = s["orig_size"]
                 scores = out["scores"][i]

@@ -82,6 +82,9 @@ def test_det_solver_fit_and_val(tmp_path, rng):
     best = solver.fit(epochs=1)
     assert "AP" in best and np.isfinite(best["AP"])
     assert solver.multi_scale == [64]
+    # auto data-parallel: batch 2 on the 8-virtual-device test backend
+    # trains on a dp2 mesh with sharded batches + replicated state
+    assert solver.mesh is not None and solver.mesh.devices.size == 2
 
     # per-epoch artifacts: final checkpoint + JSON-lines log.txt
     # (R2/solver/det_solver.py:60-117)
