@@ -205,6 +205,9 @@ class YAMLConfig:
             lr_drop_gamma=float(s.get("gamma", 0.1)),
             use_ema=self.use_ema,
             ema_decay=float((self.yaml_cfg.get("ema") or {}).get("decay", 0.9999)),
+            ema_warmups=float(
+                (self.yaml_cfg.get("ema") or {}).get("warmups", 2000)
+            ),
             betas=tuple(o.get("betas", (0.9, 0.999))),
         )
 

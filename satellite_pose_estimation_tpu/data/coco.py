@@ -28,9 +28,10 @@ MSCOCO2LABEL = {cid: i for i, cid in enumerate(MSCOCO_CATEGORY_IDS)}
 
 class CocoDetection:
     """Minimal COCO-instances dataset: decode + normalized cxcywh box
-    targets. Images come back at original size — the solver owns the
-    fixed-shape resize (train/det_solver._prep_image), so multi-scale
-    training re-resizes from the source pixels, not a pre-shrunk copy."""
+    targets. Images come back at the size the transform pipeline leaves
+    them (original size if no Resize op) — the solver owns the final
+    fixed-shape resize to the jit program's static size
+    (train/det_solver._prep_image)."""
 
     def __init__(self, img_dir: str, ann_file: str,
                  remap_mscoco_category: bool = False):

@@ -26,10 +26,17 @@ def prefetch_to_device(batch_iter: Iterator[dict], size: int = 2,
 
     Non-array entries (filenames, pad counts) pass through untouched.
     With ``mesh`` the batch axis is sharded over it (data parallelism).
+    Exceptions raised on the producer thread (decode, transforms,
+    device_put) re-raise at the consumer — a failed batch must crash the
+    epoch, not silently truncate it. If the consumer abandons the
+    iterator (step crash, KeyboardInterrupt), the producer shuts down
+    instead of blocking forever on a full queue with device buffers
+    pinned (same contract as data/dataset._prefetch_iter).
     """
     from ..parallel.mesh import shard_batch
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
+    stop = threading.Event()
     END = object()
 
     def to_device(batch: dict) -> dict:
@@ -42,16 +49,35 @@ def prefetch_to_device(batch_iter: Iterator[dict], size: int = 2,
         out.update(passthrough)
         return out
 
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             for batch in batch_iter:
-                q.put(to_device(batch))
-        finally:
-            q.put(END)
+                if stop.is_set():
+                    return
+                if not put(to_device(batch)):
+                    return
+        except BaseException as e:  # surface in the consumer
+            put(e)
+            return
+        put(END)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is END:
-            break
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

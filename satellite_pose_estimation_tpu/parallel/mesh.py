@@ -46,6 +46,16 @@ def create_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def auto_mesh(*batch_sizes: int, axis: str = "data") -> Optional[Mesh]:
+    """Largest data-parallel mesh every given batch size divides, or None
+    when that is a single device (the solvers' DDP-equivalent bootstrap;
+    R2/src/misc/dist.py warp_model picks world_size the same way)."""
+    n = len(jax.devices())
+    while n > 1 and any(int(b) % n for b in batch_sizes):
+        n -= 1
+    return create_mesh(n, axis=axis) if n > 1 else None
+
+
 def data_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) dimension, replicate the rest."""
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))

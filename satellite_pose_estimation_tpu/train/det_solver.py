@@ -22,9 +22,8 @@ from ..data.coco import CocoDetection, CocoEvaluator
 from ..data.prefetch import prefetch_to_device
 from ..data.transforms import Compose
 from ..losses.det_criterion import DetCriterionConfig, set_criterion_boxes
-from ..models.rtdetr import RTDETR, RTDETRConfig
 from ..ops.image_warp import IMAGENET_MEAN, IMAGENET_STD
-from ..parallel.mesh import create_mesh, replicate_tree, shard_batch
+from ..parallel.mesh import auto_mesh, replicate_tree, shard_batch
 from .ema import ema_update
 from .solver import CheckpointMixin
 from .state import create_train_state
@@ -92,8 +91,6 @@ class DetSolver(CheckpointMixin):
 
     def _build(self):
         c = self.cfg
-        t = c.yaml_cfg.get("RTDETRTransformer", {}) or {}
-        p = c.yaml_cfg.get("PResNet", {}) or {}
         self.resize = int(
             (c.yaml_cfg.get("val_dataloader", {}) or {})
             .get("dataset", {}).get("resize", 640)
@@ -101,24 +98,25 @@ class DetSolver(CheckpointMixin):
         self.batch_size = int(
             (c.yaml_cfg.get("train_dataloader", {}) or {}).get("batch_size", 8)
         )
-        self.multi_scale = _parse_multi_scale(c.yaml_cfg)
-        e = c.yaml_cfg.get("HybridEncoder", {}) or {}
-        model_cfg = RTDETRConfig(
-            depth=int(p.get("depth", 50)),
-            variant=str(p.get("variant", "d")),
-            return_idx=tuple(p.get("return_idx", (1, 2, 3))),
-            freeze_norm=bool(p.get("freeze_norm", True)),
-            num_classes=c.num_classes,
-            hidden_dim=int(e.get("hidden_dim", 256)),
-            nhead=int(e.get("nhead", 8)),
-            dim_feedforward=int(e.get("dim_feedforward", 1024)),
-            expansion=float(e.get("expansion", 1.0)),
-            num_queries=int(t.get("num_queries", 300)),
-            num_decoder_layers=int(t.get("num_decoder_layers", 6)),
-            box_dim=4,
-            dtype=c.compute_dtype,
+        self.val_batch_size = int(
+            (c.yaml_cfg.get("val_dataloader", {}) or {})
+            .get("batch_size", self.batch_size)
         )
-        self.model = RTDETR(model_cfg)
+        # fixed train size when multi_scale is off (defaults to eval size)
+        self.train_resize = int(
+            (c.yaml_cfg.get("train_dataloader", {}) or {})
+            .get("dataset", {}).get("resize", self.resize)
+        )
+        self.multi_scale = _parse_multi_scale(c.yaml_cfg)
+        # one construction path for training, export, and tooling:
+        # YAMLConfig.build_model reads PResNet/HybridEncoder/RTDETRTransformer
+        # sections (incl. alt backbones + learnt_init_query) and emits the
+        # 4-D box head for task: detection
+        self.model = c.build_model()
+        assert self.model.config.box_dim == 4, (
+            "detection task requires the 4-D box decoder; check task: in "
+            "the config"
+        )
         self.crit_cfg = DetCriterionConfig(num_classes=c.num_classes)
         self.train_cfg = c.train_config()
         self.state = create_train_state(
@@ -129,15 +127,12 @@ class DetSolver(CheckpointMixin):
         )
 
         # data parallelism: replicate params over the largest mesh that
-        # divides the batch, shard batches over it (same SPMD wiring as
-        # the landmarker solver; the reference's DDP warp_model,
-        # R2/src/misc/dist.py)
-        if self.mesh is None and len(jax.devices()) > 1:
-            n = len(jax.devices())
-            while n > 1 and self.batch_size % n:
-                n -= 1
-            if n > 1:
-                self.mesh = create_mesh(n)
+        # divides the train batch, shard batches over it (same SPMD wiring
+        # as the landmarker solver; the reference's DDP warp_model,
+        # R2/src/misc/dist.py). val handles ragged/indivisible batches
+        # itself, so only the train batch constrains the mesh.
+        if self.mesh is None:
+            self.mesh = auto_mesh(self.batch_size)
         if self.mesh is not None:
             self.state = replicate_tree(self.state, self.mesh)
 
@@ -173,28 +168,37 @@ class DetSolver(CheckpointMixin):
                 lambda a, u: a + u, state.params, updates
             )
             # per-step EMA shadow (R2/solver/det_engine.py updates ema
-            # after every optimizer step when use_ema is on)
+            # after every optimizer step when use_ema is on; the reference
+            # ModelEMA averages BN buffers too, R2/optim/ema.py:53-63)
             new_ema = (
                 ema_update(state.ema_params, new_params, state.step,
-                           self.train_cfg.ema_decay)
+                           self.train_cfg.ema_decay, tau=self.train_cfg.ema_warmups)
                 if state.ema_params is not None else None
+            )
+            new_ema_stats = (
+                ema_update(state.ema_batch_stats, new_stats, state.step,
+                           self.train_cfg.ema_decay, tau=self.train_cfg.ema_warmups)
+                if state.ema_batch_stats is not None else None
             )
             return state.replace(
                 step=state.step + 1, params=new_params,
                 batch_stats=new_stats, opt_state=new_opt,
-                ema_params=new_ema,
+                ema_params=new_ema, ema_batch_stats=new_ema_stats,
             ), losses
 
         self.train_step = jax.jit(train_step, donate_argnums=(0,))
 
         def eval_step(state, images):
             # the reference evaluates the EMA module when present
-            # (R2/solver/det_solver.py:76-78)
+            # (R2/solver/det_solver.py:76-78) — weights AND BN buffers
             params = (state.ema_params if state.ema_params is not None
                       else state.params)
+            stats = (state.ema_batch_stats
+                     if state.ema_batch_stats is not None
+                     else state.batch_stats)
             variables = {"params": params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
+            if stats:
+                variables["batch_stats"] = stats
             out = state.apply_fn(variables, images, train=False)
             scores = jax.nn.sigmoid(out["pred_logits"].astype(jnp.float32))
             return {"scores": scores, "boxes": out["pred_points"]}
@@ -264,7 +268,7 @@ class DetSolver(CheckpointMixin):
                     samples = [train_ds[int(i)]
                                for i in order[start:start + self.batch_size]]
                     sz = (int(np_rng.choice(self.multi_scale))
-                          if self.multi_scale else None)
+                          if self.multi_scale else self.train_resize)
                     images, labels, boxes = self._collate(
                         samples, train_tf, sz)
                     yield {"images": images, "labels": labels,
@@ -312,9 +316,10 @@ class DetSolver(CheckpointMixin):
         val_ds = self._val_ds
         evaluator = CocoEvaluator()
         n = min(len(val_ds), max_images or len(val_ds))
-        for start in range(0, n, self.batch_size):
+        for start in range(0, n, self.val_batch_size):
             samples = [val_ds[i]
-                       for i in range(start, min(start + self.batch_size, n))]
+                       for i in range(start,
+                                      min(start + self.val_batch_size, n))]
             images, _, _ = self._collate(samples)
             if self.mesh is not None and \
                     len(samples) % self.mesh.devices.size == 0:

@@ -25,7 +25,7 @@ from ..core.yaml_config import YAMLConfig
 from ..data.augment import AugmentConfig
 from ..data.dataset import SpeedTrainDataset
 from ..geometry.solvers import SolverConfig
-from ..parallel.mesh import create_mesh, replicate_tree
+from ..parallel.mesh import auto_mesh, replicate_tree
 from ..utils.metric_logger import MetricLogger
 from .evaluator import SpeedEvaluator
 from .state import create_train_state
@@ -57,6 +57,7 @@ class CheckpointMixin:
             "batch_stats": jax.device_get(self.state.batch_stats),
             "opt_state": jax.device_get(self.state.opt_state),
             "ema_params": jax.device_get(self.state.ema_params),
+            "ema_batch_stats": jax.device_get(self.state.ema_batch_stats),
             "step": int(self.state.step),
             "last_epoch": epoch,
         }
@@ -72,15 +73,29 @@ class CheckpointMixin:
             "batch_stats": jax.device_get(self.state.batch_stats),
             "opt_state": jax.device_get(self.state.opt_state),
             "ema_params": jax.device_get(self.state.ema_params),
+            "ema_batch_stats": jax.device_get(self.state.ema_batch_stats),
             "step": 0,
             "last_epoch": 0,
         }
-        restored = ckptr.restore(os.path.abspath(path), target)
+        try:
+            restored = ckptr.restore(os.path.abspath(path), target)
+        except BaseException:
+            # pre-ema_batch_stats checkpoint: restore the old layout and
+            # re-seed the stats shadow from the restored running stats
+            target.pop("ema_batch_stats")
+            restored = ckptr.restore(os.path.abspath(path), target)
+            from .ema import ema_init
+
+            restored["ema_batch_stats"] = (
+                ema_init(restored["batch_stats"])
+                if self.state.ema_batch_stats is not None else None
+            )
         self.state = self.state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
             ema_params=restored["ema_params"],
+            ema_batch_stats=restored["ema_batch_stats"],
             step=jnp.asarray(restored["step"], jnp.int32),
         )
         self.start_epoch = int(restored["last_epoch"]) + 1
@@ -179,14 +194,10 @@ class SpeedSolver(CheckpointMixin):
             tx=lambda params: cfg.build_tx(params, steps_per_epoch),
         )
 
-        if self.mesh is None and len(jax.devices()) > 1:
+        if self.mesh is None:
             # Largest device count that divides both batch sizes (and keep
             # single-device when batches are tiny).
-            n = len(jax.devices())
-            while n > 1 and (self.batch_size % n or self.val_batch_size % n):
-                n -= 1
-            if n > 1:
-                self.mesh = create_mesh(n)
+            self.mesh = auto_mesh(self.batch_size, self.val_batch_size)
         if self.mesh is not None:
             self.state = replicate_tree(self.state, self.mesh)
 

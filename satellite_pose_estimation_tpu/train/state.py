@@ -29,6 +29,9 @@ class TrainConfig:
     lr_drop_gamma: float = 0.1
     use_ema: bool = False
     ema_decay: float = 0.9999
+    # decay ramp time constant: d = decay * (1 - exp(-t / warmups))
+    # (reference ModelEMA 'warmups', R2/optim/ema.py:33-48)
+    ema_warmups: float = 2000.0
     betas: Tuple[float, float] = (0.9, 0.999)
 
 
@@ -39,6 +42,10 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     ema_params: Any  # None when EMA disabled
+    # EMA shadow of BN running stats: the reference ModelEMA averages every
+    # floating-point entry of state_dict — buffers included
+    # (R2/optim/ema.py:53-63); None when EMA disabled or no BN stats
+    ema_batch_stats: Any
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
     apply_fn: Callable = flax.struct.field(pytree_node=False)
 
@@ -102,6 +109,9 @@ def create_train_state(model, rng, sample_input, cfg: TrainConfig,
         batch_stats=batch_stats,
         opt_state=opt_state,
         ema_params=ema_init(params) if cfg.use_ema else None,
+        ema_batch_stats=(
+            ema_init(batch_stats) if cfg.use_ema and batch_stats else None
+        ),
         tx=tx,
         apply_fn=model.apply,
     )

@@ -99,8 +99,14 @@ def make_train_step(
         )
         new_ema = (
             ema_update(state.ema_params, new_params, state.step,
-                       train_cfg.ema_decay)
+                       train_cfg.ema_decay, tau=train_cfg.ema_warmups)
             if state.ema_params is not None
+            else None
+        )
+        new_ema_stats = (
+            ema_update(state.ema_batch_stats, new_stats, state.step,
+                       train_cfg.ema_decay, tau=train_cfg.ema_warmups)
+            if state.ema_batch_stats is not None
             else None
         )
         new_state = state.replace(
@@ -109,6 +115,7 @@ def make_train_step(
             batch_stats=new_stats,
             opt_state=new_opt,
             ema_params=new_ema,
+            ema_batch_stats=new_ema_stats,
         )
         return new_state, losses
 
@@ -144,8 +151,13 @@ def make_eval_step(
         params = state.ema_params if (use_ema and state.ema_params is not None) \
             else state.params
         variables = {"params": params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
+        # EMA eval pairs EMA weights with EMA'd BN stats (reference averages
+        # buffers too, R2/optim/ema.py:53-63)
+        stats = state.ema_batch_stats \
+            if (use_ema and state.ema_batch_stats is not None) \
+            else state.batch_stats
+        if stats:
+            variables["batch_stats"] = stats
         if quant is not None:
             variables["quant"] = quant
         outputs = state.apply_fn(variables, images, train=False)

@@ -100,8 +100,10 @@ def test_det_solver_fit_and_val(tmp_path, rng):
     solver2.resume(os.path.join(out, "checkpoint"))
     solver2._build()
     assert solver2.start_epoch == 1
-    # EMA shadow trained + restored (use_ema: true in det configs)
+    # EMA shadows (weights AND BN stats — the reference ModelEMA averages
+    # buffers too) trained + restored (use_ema: true in det configs)
     assert solver2.state.ema_params is not None
+    assert solver2.state.ema_batch_stats is not None
     np.testing.assert_allclose(
         np.asarray(
             next(iter(jax.tree_util.tree_leaves(solver2.state.params)))),

@@ -81,6 +81,36 @@ def test_prefetch_to_device(rng):
     assert out[0]["pad"] == 0 and out[0]["filename"] == ["a"] * 4
     np.testing.assert_allclose(np.asarray(out[2]["x"]), batches[2]["x"])
 
+    # producer-thread exceptions re-raise at the consumer: a bad batch must
+    # crash the epoch, not silently truncate it
+    def bad_iter():
+        yield batches[0]
+        raise RuntimeError("decode failed")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="decode failed"):
+        list(prefetch_to_device(bad_iter(), size=2))
+
+    # abandoning the iterator releases the producer (no eternal q.put block)
+    import time
+
+    produced = []
+
+    def slow_iter():
+        for b in batches:
+            produced.append(1)
+            yield b
+
+    it = prefetch_to_device(slow_iter(), size=1)
+    next(it)
+    it.close()  # consumer leaves early (e.g. train_step raised)
+    n_after_close = len(produced)
+    time.sleep(1.0)
+    # producer observed the stop event: nothing new got produced after a
+    # grace period (it may have had one item in flight at close time)
+    assert len(produced) <= n_after_close + 1 < len(batches)
+
 
 def test_analyze_log_roundtrip(tmp_path):
     import json
