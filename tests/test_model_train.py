@@ -95,3 +95,16 @@ def test_create_mesh_rejects_oversubscription():
 
     with pytest.raises(ValueError, match="exposes only"):
         create_mesh(len(jax.devices()) + 1)
+
+
+def test_auto_mesh_divisibility():
+    """auto_mesh picks the largest device count dividing every batch size,
+    or None when only one device fits (solver DDP-equivalent bootstrap)."""
+    from satellite_pose_estimation_tpu.parallel.mesh import auto_mesh
+
+    assert auto_mesh(16).devices.size == 8  # 8 virtual devices (conftest)
+    assert auto_mesh(12).devices.size == 6
+    assert auto_mesh(12, 16).devices.size == 4  # gcd-limited by both
+    assert auto_mesh(7).devices.size == 7  # 7 <= 8 devices, divides itself
+    assert auto_mesh(11) is None  # prime > device count: only 1 divides
+    assert auto_mesh(1) is None
