@@ -142,6 +142,15 @@ def test_yaml_config_files_load():
     tc = cfg.train_config(steps_per_epoch=10)
     assert tc.lr == pytest.approx(3e-4)
     assert tc.lr_backbone == pytest.approx(3e-5)
+    # ModelEMA on, reference include values
+    # (R2/configs/rtdetr_speed/include/optimizer.yml:1-5)
+    assert tc.use_ema and tc.ema_decay == pytest.approx(0.9999)
+    assert tc.ema_warmups == pytest.approx(2000)
+    # 3-group regex param spec (backbone-norm no-decay, backbone,
+    # encoder/decoder norm/bias no-decay)
+    groups = cfg.yaml_cfg["optimizer"]["params"]
+    assert len(groups) == 3
+    assert any("(?!.*norm)" in g["params"] for g in groups)
     model = cfg.build_model()
     assert model.config.depth == 50
     assert model.config.num_queries == 30
