@@ -73,6 +73,9 @@ TINY_CFG = {
     "epoches": 1,
     "checkpoint_step": 1,
     "log_step": 1,
+    # shipped speed configs run with ModelEMA on (reference include);
+    # with freeze_norm False this exercises EMA of weights AND BN stats
+    "use_ema": True,
     "PResNet": {"depth": 18, "freeze_norm": False},
     "HybridEncoder": {"hidden_dim": 32, "nhead": 4, "dim_feedforward": 64,
                       "expansion": 0.5},
@@ -129,6 +132,9 @@ def test_solver_fit_eval_checkpoint_resume(tmp_path, rng):
     solver2.resume(os.path.join(out_dir, "checkpoint"))
     solver2.fit()
     assert solver2.start_epoch == 1
+    # EMA shadows (weights + BN stats) survived the checkpoint round trip
+    assert solver2.state.ema_params is not None
+    assert solver2.state.ema_batch_stats is not None
 
 
 def test_yaml_config_files_load():
