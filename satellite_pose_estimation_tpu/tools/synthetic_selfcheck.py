@@ -126,6 +126,9 @@ def main(args):
         "checkpoint_step": 10000,
         "log_step": 5,
         "compute_dtype": args.dtype,
+        # shipped speed configs train with ModelEMA on (reference include,
+        # R2/configs/rtdetr_speed/include/optimizer.yml:1-5)
+        "use_ema": bool(getattr(args, "ema", False)),
         "SetCriterion": {
             "losses": ["labels", "points_uncert"],
             "weight_dict": {"loss_ce": 1, "loss_bbox": 5},
@@ -166,6 +169,9 @@ if __name__ == "__main__":
     parser.add_argument("--resize", type=int, default=128)
     parser.add_argument("--lr", type=float, default=3e-4)
     parser.add_argument("--dtype", default="float32")
+    parser.add_argument("--ema", action="store_true",
+                        help="train+eval with ModelEMA (the shipped speed "
+                             "configs' setting)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--aug", choices=("full", "r1"), default="full",
                         help="augmentation recipe: full reference family or the round-1 reduced control arm")
