@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -26,8 +27,16 @@ class FrozenBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        scale = self.param("scale", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        # stop_gradient enforces the frozen contract: in torch these are
+        # BUFFERS (absent from named_parameters, never optimized,
+        # R1/models/backbone.py:18-54); they stay in the params collection
+        # here only so checkpoint converters can map .weight/.bias
+        scale = jax.lax.stop_gradient(
+            self.param("scale", nn.initializers.ones, (self.features,))
+        )
+        bias = jax.lax.stop_gradient(
+            self.param("bias", nn.initializers.zeros, (self.features,))
+        )
         mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((self.features,))
         )

@@ -105,28 +105,50 @@ class CheckpointMixin:
 
     def _load_tuning(self, path: str):
         """Shape-matched partial load, preferring EMA weights
-        (R2/solver/solver.py:141-178)."""
+        (R2/solver/solver.py:141-178). The reference loads a state_dict —
+        params AND buffers — into the module and then constructs ModelEMA
+        from the already-tuned module, so BN running stats are loaded too
+        and the EMA shadows start from the tuned weights, not random
+        init."""
+        import flax
         import orbax.checkpoint as ocp
+
+        from .ema import ema_init
 
         ckptr = ocp.PyTreeCheckpointer()
         restored = ckptr.restore(os.path.abspath(path))
-        src = restored.get("ema_params") or restored.get("params") or {}
-        cur = _tree_flatten_with_path(self.state.params)
-        new = _tree_flatten_with_path(src) if src else {}
-        matched, skipped = {}, 0
-        for k, v in cur.items():
-            cand = new.get(k)
-            if cand is not None and np.shape(cand) == np.shape(v):
-                matched[k] = jnp.asarray(cand, v.dtype)
-            else:
-                matched[k] = v
-                skipped += 1
-        import flax
 
+        def shape_match(cur_tree, src_tree):
+            cur = _tree_flatten_with_path(cur_tree)
+            new = _tree_flatten_with_path(src_tree) if src_tree else {}
+            matched, skipped = {}, 0
+            for k, v in cur.items():
+                cand = new.get(k)
+                if cand is not None and np.shape(cand) == np.shape(v):
+                    matched[k] = jnp.asarray(cand, v.dtype)
+                else:
+                    matched[k] = v
+                    skipped += 1
+            return flax.traverse_util.unflatten_dict(matched), skipped
+
+        src = restored.get("ema_params") or restored.get("params") or {}
+        params, skipped = shape_match(self.state.params, src)
+        batch_stats = self.state.batch_stats
+        if batch_stats and restored.get("batch_stats"):
+            batch_stats, _ = shape_match(batch_stats,
+                                         restored["batch_stats"])
         self.state = self.state.replace(
-            params=flax.traverse_util.unflatten_dict(matched)
+            params=params,
+            batch_stats=batch_stats,
+            ema_params=(ema_init(params)
+                        if self.state.ema_params is not None else None),
+            ema_batch_stats=(
+                ema_init(batch_stats)
+                if self.state.ema_batch_stats is not None else None
+            ),
         )
-        print(f"Load tuning state from {path}: {len(matched) - skipped} "
+        n_total = len(_tree_flatten_with_path(params))
+        print(f"Load tuning state from {path}: {n_total - skipped} "
               f"matched, {skipped} kept")
 
     def resume(self, path: str):

@@ -165,3 +165,28 @@ def test_map_static_dicts_slices(rng):
     out = map_static_dicts(src, dst)
     np.testing.assert_allclose(out["query_embed"], src["query_embed"][:20])
     np.testing.assert_allclose(out["head"]["kernel"], src["head"]["kernel"])
+
+
+def test_frozen_bn_params_get_zero_gradient():
+    """FrozenBatchNorm scale/bias are torch BUFFERS in the reference —
+    absent from named_parameters, never optimized (R1/models/backbone.py:
+    18-54). Here they live in params only for converter naming; the
+    stop_gradient in forward must keep their gradients exactly zero."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+
+    from satellite_pose_estimation_tpu.models.layers import FrozenBatchNorm
+
+    m = FrozenBatchNorm(features=4)
+    variables = m.init(jax.random.PRNGKey(0), jnp.ones((2, 3, 3, 4)))
+
+    def loss(params):
+        y = m.apply({"params": params,
+                     "batch_stats": variables["batch_stats"]},
+                    jnp.ones((2, 3, 3, 4)))
+        return jnp.sum(y ** 2)
+
+    grads = jax.grad(loss)(variables["params"])
+    for path, g in flax.traverse_util.flatten_dict(grads).items():
+        assert float(jnp.abs(g).max()) == 0.0, path
