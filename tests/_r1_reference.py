@@ -60,11 +60,48 @@ def _ensure_torchvision_stub():
         sys.modules["torchvision.models._utils"] = tvm_utils
 
 
-def load_r1_modules():
-    """Returns (Transformer, PositionEmbeddingSine, NestedTensor, MLP)."""
-    _ensure_torchvision_stub()
-    # synthetic packages: sys.modules entries win over sys.path scanning,
-    # so these never collide with the R2 tree's same-named directories.
+def _ensure_mathutils_stub():
+    """R1/utils/speed_eval.py converts rotation matrices to quaternions via
+    Blender's mathutils C library, absent here. The stub backs
+    Matrix.to_quaternion with scipy.spatial.transform (an independent
+    implementation from our geometry/rotations.py Shepperd code, so the
+    oracle stays a genuine oracle). Scalar-first order, matching mathutils;
+    sign is irrelevant downstream (speed_score flips on q0<0)."""
+    if "mathutils" in sys.modules:
+        return
+    try:
+        import mathutils  # noqa: F401  (real library, if ever present)
+
+        return
+    except ImportError:
+        pass
+    import numpy as np
+    from scipy.spatial.transform import Rotation
+
+    mod = types.ModuleType("mathutils")
+    mod.__graft_stub__ = True
+
+    class Matrix:
+        def __init__(self, rows):
+            self._m = np.asarray(rows, dtype=np.float64)
+
+        def to_quaternion(self):
+            q = Rotation.from_matrix(self._m).as_quat()  # (x, y, z, w)
+            return np.array([q[3], q[0], q[1], q[2]])
+
+    class Quaternion:  # imported by name in R1/utils/utils.py; never
+        def __init__(self, *args):  # called on the eval-tail path
+            raise NotImplementedError("__graft_stub__ mathutils.Quaternion")
+
+    mod.Matrix = Matrix
+    mod.Quaternion = Quaternion
+    sys.modules["mathutils"] = mod
+
+
+def _ensure_r1_packages():
+    """Install synthetic ``utils``/``models`` packages pointing into the R1
+    tree: sys.modules entries win over sys.path scanning, so these never
+    collide with the R2 tree's same-named directories."""
     for name, path in (
         ("utils", R1_DIR + "/utils"),
         ("models", R1_DIR + "/models"),
@@ -75,9 +112,51 @@ def load_r1_modules():
             mod.__path__ = [path]
             sys.modules[name] = mod
 
+
+def load_r1_modules():
+    """Returns (Transformer, PositionEmbeddingSine, NestedTensor, MLP)."""
+    _ensure_torchvision_stub()
+    _ensure_r1_packages()
+
     from models.detr_speed import MLP
     from models.position_encoding import PositionEmbeddingSine
     from models.transformer import Transformer
     from utils.misc import NestedTensor
 
     return Transformer, PositionEmbeddingSine, NestedTensor, MLP
+
+
+def load_r1_eval_tail(workdir):
+    """Load the LIVE reference eval tail: PostProcess
+    (R1/models/detr_speed.py:264-293), SimplePoseSolver
+    (R1/utils/speed_eval.py:143-242, cv2 P3P-RANSAC + ITERATIVE refine),
+    and speed_score (:245-262).
+
+    PoseSolver.__init__ reads the world points from the relative path
+    ``./data/annos/all_result.json`` (R1/utils/speed_eval.py:25,34); this
+    creates that layout under ``workdir`` (symlinked to the reference's own
+    file) — the caller must chdir(workdir) before constructing a solver.
+
+    Returns (PostProcess, SimplePoseSolver, speed_score, world_points).
+    """
+    import json
+
+    import numpy as np
+
+    _ensure_torchvision_stub()
+    _ensure_mathutils_stub()
+    _ensure_r1_packages()
+
+    annos_dir = os.path.join(workdir, "data", "annos")
+    os.makedirs(annos_dir, exist_ok=True)
+    link = os.path.join(annos_dir, "all_result.json")
+    src = os.path.join(R1_DIR, "all_result.json")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    from models.detr_speed import PostProcess
+    from utils.speed_eval import SimplePoseSolver, speed_score
+
+    with open(src) as f:
+        world = np.asarray([item["pt"] for item in json.load(f)], np.float64)
+    return PostProcess, SimplePoseSolver, speed_score, world
