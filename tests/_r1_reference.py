@@ -98,6 +98,62 @@ def _ensure_mathutils_stub():
     sys.modules["mathutils"] = mod
 
 
+def _ensure_dataset_stubs():
+    """Extra stubs for importing R1/datasets/speed.py live:
+
+    * ``albumentations`` — module-level ``import albumentations as A``; only
+      referenced inside make_transforms, which crop-parity tests never call,
+      so an empty marked stub suffices;
+    * ``torchvision.transforms.functional.to_tensor`` — standard torchvision
+      semantics (uint8 HWC -> float32 CHW / 255), needed by
+      SpeedSubmission.__getitem__ (R1/datasets/speed.py:150).
+    """
+    if "albumentations" not in sys.modules:
+        alb = types.ModuleType("albumentations")
+        alb.__graft_stub__ = True
+        sys.modules["albumentations"] = alb
+
+    _ensure_torchvision_stub()
+    tv = sys.modules["torchvision"]
+    if not hasattr(tv, "transforms"):
+        import numpy as np
+        import torch
+
+        transforms = types.ModuleType("torchvision.transforms")
+        functional = types.ModuleType("torchvision.transforms.functional")
+        functional.__graft_stub__ = True
+
+        def to_tensor(pic):
+            arr = np.asarray(pic)
+            t = torch.from_numpy(arr.copy()).permute(2, 0, 1).contiguous()
+            return t.float().div(255.0)
+
+        functional.to_tensor = to_tensor
+        transforms.functional = functional
+        tv.transforms = transforms
+        sys.modules["torchvision.transforms"] = transforms
+        sys.modules["torchvision.transforms.functional"] = functional
+
+
+def load_r1_dataset_module():
+    """Import R1/datasets/speed.py live (SpeedTrain / SpeedSubmission crop
+    and canvas code) and return the module. make_transforms is NOT usable
+    (albumentations is a marked empty stub)."""
+    _ensure_mathutils_stub()
+    _ensure_dataset_stubs()
+    _ensure_r1_packages()
+    for name, path in (("datasets", R1_DIR + "/datasets"),):
+        mod = sys.modules.get(name)
+        if mod is None or getattr(mod, "__path__", None) != [path]:
+            mod = types.ModuleType(name)
+            mod.__path__ = [path]
+            sys.modules[name] = mod
+
+    import datasets.speed as speed_module
+
+    return speed_module
+
+
 def _ensure_r1_packages():
     """Install synthetic ``utils``/``models`` packages pointing into the R1
     tree: sys.modules entries win over sys.path scanning, so these never
