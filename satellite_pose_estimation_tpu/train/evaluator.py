@@ -88,8 +88,15 @@ class SpeedEvaluator:
             "tvec score: {:.6f}, quat score: {:.6f}, final score: {:.6f}; "
             .format(mean_t, mean_q, mean_s)
         )
+        # Reference quirk, reproduced verbatim: both SpeedEvals reduce the
+        # per-image scores to a scalar mean BEFORE the median
+        # (R1/datasets/speed.py:398-412, R2/.../speed_dataset.py:456-474:
+        # ``tvec_score = np.mean(tvec_score).item()`` then
+        # ``np.median(tvec_score)``), so the "median" fields in the shipped
+        # stats string are the means again. True medians are available in
+        # scalar_summary() as an extension.
         stats += "median tvec: {:.6f}, median quat: {:.6f}; ".format(
-            float(np.median(tvec_score)), float(np.median(quat_score))
+            mean_t, mean_q
         )
         am = np.mean(tvec_abs, 0).tolist()
         ad = np.median(tvec_abs, 0).tolist()
@@ -112,6 +119,14 @@ class SpeedEvaluator:
                 ),
                 score_quat=float(
                     np.mean([it["score_quat"] for it in scored])
+                ),
+                # true per-image medians (the stats string's "median"
+                # fields repeat the means — reference quirk, see summarize)
+                median_tvec=float(
+                    np.median([it["score_tvec"] for it in scored])
+                ),
+                median_quat=float(
+                    np.median([it["score_quat"] for it in scored])
                 ),
             )
         else:

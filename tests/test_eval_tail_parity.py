@@ -203,6 +203,44 @@ def test_eval_tail_parity(ref_tail):
         assert abs(float(s_q_our) - float(s_q_ref)) < 5e-4
 
 
+def test_summarize_stats_string_live_parity():
+    """Identical per-image logs -> the reference SpeedEval.summarize
+    (R1/datasets/speed.py:382-421) and our SpeedEvaluator.summarize produce
+    the SAME string, verbatim — including the reference quirk where the
+    'median tvec/quat' fields repeat the means (the per-image scores are
+    reduced to a scalar before np.median)."""
+    from tests._r1_reference import load_r1_dataset_module
+
+    from satellite_pose_estimation_tpu.train.evaluator import SpeedEvaluator
+
+    speed_module = load_r1_dataset_module()
+    rng = np.random.RandomState(21)
+
+    log = {}
+    for i in range(7):
+        t_gt = rng.uniform(-1, 12, 3)
+        t_pr = t_gt + rng.normal(0, 0.05, 3)
+        s_t = rng.uniform(0, 0.1)
+        s_q = rng.uniform(0, 0.2)
+        log[f"img{i:03d}.jpg"] = {
+            "score_tvec": round(float(s_t), 8),
+            "score_quat": round(float(s_q), 8),
+            "score": round(float(s_t + s_q), 8),
+            "tvec_pr": np.around(t_pr, 6).tolist(),
+            "tvec_gt": t_gt.tolist(),
+        }
+
+    ref_eval = object.__new__(speed_module.SpeedEval)
+    ref_eval.log = {k: dict(v) for k, v in log.items()}
+    ref_eval.summarize()
+
+    ours = SpeedEvaluator()
+    ours.log = {k: dict(v) for k, v in log.items()}
+    stats = ours.summarize()
+
+    assert stats == ref_eval.stats
+
+
 def test_eval_tail_degenerate_failure_contract(ref_tail):
     """<4 foreground keypoints: reference raises (SpeedEval catches
     IndexError/cv2.error into a zero pose); ours returns valid=False."""
