@@ -46,10 +46,17 @@ def postprocess_sigma(outputs, clip_bbox):
 
 
 def collect_aux_points(outputs, clip_bbox):
-    """Denormalized points of every aux decoder layer — the eval log records
-    aux_0..2 (R2/solver/speed_engine.py:177-190)."""
+    """Aux decoder layers for the eval log. Shipped-behavior quirk: the
+    reference collects the aux layers' RAW pred_logits
+    (R2/solver/speed_engine.py:177-179) but stores them under keys named
+    aux_points_0..2 (R2/.../speed_dataset.py:417-419 — leftover naming from
+    a commented-out pred_pts variant); this mirrors that, returning the raw
+    logits per aux layer. clip_bbox is accepted for API symmetry with
+    postprocess() and unused, exactly as the reference never denormalizes
+    these."""
+    del clip_bbox
     return [
-        postprocess(aux, clip_bbox)["points"]
+        jnp.asarray(aux["pred_logits"], jnp.float32)
         for aux in outputs.get("aux_outputs", [])
-        if "pred_points" in aux
+        if "pred_logits" in aux
     ]

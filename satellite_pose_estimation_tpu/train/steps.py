@@ -197,12 +197,16 @@ def make_eval_step(
             "probs": probs,
             "sigmas": sigmas_pix,
         }
-        # Aux decoder layers' denormalized points for the eval log
-        # (R2/solver/speed_engine.py:177-190 collects aux_0..2).
+        # Aux decoder layers for the eval log. Shipped-behavior quirk,
+        # reproduced: the reference collects the aux layers' RAW
+        # pred_logits (R2/solver/speed_engine.py:177-179) but stores them
+        # under keys named aux_points_0..2 (R2/.../speed_dataset.py:417-419
+        # — leftover naming from a commented-out pred_pts variant). The
+        # eval JSONs therefore carry logits under those keys.
         for i, aux in enumerate(outputs.get("aux_outputs", [])):
-            if "pred_points" in aux and aux["pred_points"].shape[-1] == 2:
-                result[f"aux_points_{i}"] = (
-                    aux["pred_points"] * wh[:, None, :] + clip[:, None, 0:2]
+            if "pred_logits" in aux:
+                result[f"aux_points_{i}"] = aux["pred_logits"].astype(
+                    jnp.float32
                 )
         if "quat_gt" in batch:
             scores = speed_score_batch(

@@ -70,6 +70,37 @@ def test_train_step_decreases_loss(rng):
     assert losses_hist[-1] < losses_hist[0], losses_hist
 
 
+def test_eval_step_logs_raw_aux_logits(rng):
+    """Shipped-behavior quirk, reproduced: the eval log's aux_points_N
+    entries carry the RAW aux-layer pred_logits — the reference collects
+    pred_logits (R2/solver/speed_engine.py:177-179) but stores them under
+    point-named keys (R2/.../speed_dataset.py:417-419)."""
+    from satellite_pose_estimation_tpu.train.steps import make_eval_step
+
+    model = DETRKeypointModel(TINY)
+    state = create_train_state(
+        model,
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, 64, 64, 3), jnp.float32),
+        TrainConfig(),
+    )
+    batch = {
+        "image": rng.randint(0, 255, (2, 96, 96, 3)).astype(np.uint8),
+        "clip_bbox_buf": np.tile(
+            np.asarray([4.0, 4.0, 90.0, 90.0], np.float32), (2, 1)
+        ),
+        "clip_bbox": np.tile(
+            np.asarray([800.0, 500.0, 1100.0, 800.0], np.float32), (2, 1)
+        ),
+    }
+    res = make_eval_step(out_size=64, solver="simple")(state, batch)
+    assert "aux_points_0" in res and "aux_points_1" not in res
+    aux = np.asarray(res["aux_points_0"])
+    # logits (12-way), not 2-D points — the reference's misnamed payload
+    assert aux.shape == (2, TINY.num_queries, 12)
+    assert aux.dtype == np.float32
+
+
 def test_multi_device_data_parallel(rng):
     assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
     mesh = create_mesh(8)
