@@ -11,13 +11,33 @@ import argparse
 import json
 
 
+_STATS_RE = (
+    r"tvec score: ([\d.]+), quat score: ([\d.]+), final score: ([\d.]+)"
+)
+
+
 def load_log(path):
+    """Parse JSON-lines log.txt. Reference-format logs carry the scores
+    only inside the test_speed_eval_pose stats string (the TB extraction
+    regex of R2/solver/speed_solver.py:167-189); backfill test_score*
+    scalars from it so both our logs and the reference's own log.txt
+    analyze identically."""
+    import re
+
     entries = []
     with open(path) as f:
         for line in f:
             line = line.strip()
             if line:
                 entries.append(json.loads(line))
+    for e in entries:
+        stats = e.get("test_speed_eval_pose")
+        if isinstance(stats, str) and "test_score" not in e:
+            m = re.search(_STATS_RE, stats)
+            if m:
+                e["test_score_tvec"] = float(m.group(1))
+                e["test_score_quat"] = float(m.group(2))
+                e["test_score"] = float(m.group(3))
     return entries
 
 

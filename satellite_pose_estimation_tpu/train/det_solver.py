@@ -301,7 +301,10 @@ class DetSolver(CheckpointMixin):
                 f.write(json.dumps(
                     {"epoch": epoch,
                      **{f"train_{k}": v for k, v in mean_losses.items()},
-                     **{f"test_{k}": float(v) for k, v in stats.items()}}
+                     **{f"test_{k}": float(v) for k, v in stats.items()},
+                     "n_parameters": int(sum(
+                         np.prod(x.shape) for x in
+                         jax.tree_util.tree_leaves(self.state.params)))}
                 ) + "\n")
             print(f"epoch {epoch}: AP {stats['AP']:.4f} "
                   f"(best {best_stat['AP']:.4f})")

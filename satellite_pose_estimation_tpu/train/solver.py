@@ -276,10 +276,21 @@ class SpeedSolver(CheckpointMixin):
                 best_score = eval_stats["score"]
                 self.save_checkpoint(epoch, name="checkpoint_best")
 
+            # Same key layout as the reference log.txt JSON-lines
+            # (R2/solver/speed_solver.py:203-212, R1/analyze_log.py:13-33):
+            # train_*/test_* flattened stats, the stats string under
+            # test_speed_eval_pose, epoch, n_parameters.
             log_entry = {
                 **{f"train_{k}": v for k, v in train_stats.items()},
                 **{f"test_{k}": v for k, v in eval_stats.items()},
+                "test_speed_eval_pose": evaluator.stats,
                 "epoch": epoch,
+                "n_parameters": int(
+                    sum(
+                        np.prod(x.shape)
+                        for x in jax.tree_util.tree_leaves(self.state.params)
+                    )
+                ),
             }
             with open(log_path, "a") as f:
                 f.write(json.dumps(log_entry) + "\n")

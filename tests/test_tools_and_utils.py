@@ -127,6 +127,29 @@ def test_analyze_log_roundtrip(tmp_path):
     assert loaded == entries
 
 
+def test_analyze_log_backfills_scores_from_stats_string(tmp_path):
+    """Reference-format log.txt carries scores only inside the
+    test_speed_eval_pose string; load_log must regex-backfill test_score*
+    (the TB extraction of R2/solver/speed_solver.py:167-189)."""
+    import json
+
+    from satellite_pose_estimation_tpu.tools.analyze_log import load_log
+
+    stats = (
+        "tvec score: 0.123456, quat score: 0.654321, final score: "
+        "0.777777; median tvec: 0.123456, median quat: 0.654321; "
+        "mean tvec abs: [0.1, 0.2, 0.3], median tvec abs:[0.1, 0.2, 0.3]"
+    )
+    path = tmp_path / "log.txt"
+    path.write_text(
+        json.dumps({"epoch": 0, "test_speed_eval_pose": stats}) + "\n"
+    )
+    (entry,) = load_log(str(path))
+    assert entry["test_score"] == 0.777777
+    assert entry["test_score_tvec"] == 0.123456
+    assert entry["test_score_quat"] == 0.654321
+
+
 def test_plot_ablations_tool(tmp_path):
     import json
 
