@@ -230,6 +230,7 @@ class SpeedSolver(CheckpointMixin):
         solver_kind = "sigma" if self.criterion_cfg.point_loss == "uncert" \
             else "simple"
         self.eval_step = make_eval_step(
+            criterion_cfg=self.criterion_cfg,
             solver_cfg=SolverConfig(input_size=self.resize),
             out_size=self.resize,
             solver=solver_kind,
@@ -347,16 +348,23 @@ class SpeedSolver(CheckpointMixin):
     # --- evaluation -----------------------------------------------------
     def evaluate(self, epoch: int = -1):
         evaluator = SpeedEvaluator()
+        loss_sums: dict = {}
+        n_loss_batches = 0
         for batch in self.val_ds.batches(
             self.val_batch_size, shuffle=False, drop_last=False, pad_last=True
         ):
             filenames = batch.pop("filename")
             pad = batch.pop("pad", 0)
-            batch.pop("landmarks_buf", None)
-            batch.pop("labels", None)
             device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
             results = self.eval_step(self.state, device_batch)
             results = dict(jax.device_get(results))
+            # batch-mean eval losses (reference evaluate() logs criterion
+            # losses on eval batches, R2/solver/speed_engine.py:123-172;
+            # like the reference's MetricLogger these are per-batch means —
+            # the padded tail batch weighs its pad images in)
+            for k, v in results.pop("eval_losses", {}).items():
+                loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
+            n_loss_batches += 1
             # carry GT into the per-image log (tvec-abs summary stats)
             for key in ("quat_gt", "tvec_gt"):
                 if key in batch:
@@ -364,7 +372,12 @@ class SpeedSolver(CheckpointMixin):
             evaluator.update_batch(filenames, results, pad=pad)
         stats_str = evaluator.summarize()
         print(f"Eval epoch {epoch}: {stats_str}")
-        return evaluator.scalar_summary(), evaluator
+        stats = evaluator.scalar_summary()
+        if loss_sums:
+            stats.update(
+                {k: v / max(n_loss_batches, 1) for k, v in loss_sums.items()}
+            )
+        return stats, evaluator
 
     def val(self):
         self._build()

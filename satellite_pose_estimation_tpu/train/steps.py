@@ -213,6 +213,22 @@ def make_eval_step(
                 quat, tvec, batch["quat_gt"], batch["tvec_gt"]
             )
             result.update(scores)
+        # Eval-time criterion losses for the epoch log — the reference
+        # evaluate() runs the criterion on eval batches purely for logging
+        # (R1/engine.py:78-135, R2/solver/speed_engine.py:123-172: the
+        # test_loss_* keys of log.txt). Batch-mean scalars, returned under
+        # a reserved key the evaluator does not treat as per-image data.
+        if criterion_cfg is not None and "landmarks_buf" in batch:
+            bb = batch["clip_bbox_buf"]
+            kp_norm = (batch["landmarks_buf"] - bb[:, None, 0:2]) / (
+                bb[:, None, 2:4] - bb[:, None, 0:2]
+            )
+            total, losses = set_criterion(
+                outputs,
+                {"labels": batch["labels"], "landmarks": kp_norm},
+                criterion_cfg,
+            )
+            result["eval_losses"] = {"loss_total": total, **losses}
         return result
 
     return jax.jit(eval_step)
