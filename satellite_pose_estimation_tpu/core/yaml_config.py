@@ -228,7 +228,8 @@ class YAMLConfig:
                 a[k] = tuple(a[k])
         return AugmentConfig(out_size=out_size, **a)
 
-    def build_tx(self, params, steps_per_epoch: int = 1):
+    def build_tx(self, params, steps_per_epoch: int = 1,
+                 frozen_prefixes: frozenset = frozenset()):
         """Registry-built optax transform from the full R2 optimizer +
         lr_scheduler sections (regex param groups, SGD/Adam/AdamW,
         MultiStep/Cosine/OneCycle/Lambda schedules). Returns None when the
@@ -256,7 +257,38 @@ class YAMLConfig:
             steps_per_epoch=steps_per_epoch,
             sched_cfg=self.yaml_cfg.get("lr_scheduler"),
             clip_max_norm=float(self.yaml_cfg.get("clip_max_norm", 0.1)),
+            frozen_prefixes=frozen_prefixes,
         )
+
+    def lr_schedule_fn(self, steps_per_epoch: int = 1):
+        """Host-side step -> lr of the MAIN param group, for the train_lr
+        meter (the reference's log.txt carries train_lr,
+        R1/analyze_log.py:13). Mirrors the schedule make_optimizer/build_tx
+        close over: the tuned two-group AdamW MultiStep for plain sections,
+        the registry schedule otherwise."""
+        o = self.yaml_cfg.get("optimizer") or {}
+        s = self.yaml_cfg.get("lr_scheduler") or {}
+        tc = self.train_config(steps_per_epoch)
+        plain = (
+            o.get("type", "AdamW") == "AdamW"
+            and not o.get("params")
+            and s.get("type", "MultiStepLR") == "MultiStepLR"
+        )
+        if plain:
+            from ..train.state import _multistep_schedule
+
+            sched = _multistep_schedule(
+                tc.lr, tc.lr_drop_steps, tc.lr_drop_gamma
+            )
+        else:
+            from ..train.optim import make_schedule
+
+            sched = make_schedule(
+                s or None, float(o.get("lr", 1e-4)), steps_per_epoch
+            )
+        if callable(sched):
+            return sched
+        return lambda step, v=float(sched): v
 
     # --- dataloaders ----------------------------------------------------
     def dataloader_settings(self, split: str) -> DataloaderSettings:

@@ -37,6 +37,15 @@ class FrozenBatchNorm(nn.Module):
         bias = jax.lax.stop_gradient(
             self.param("bias", nn.initializers.zeros, (self.features,))
         )
+        if self.is_initializing():
+            # Marker collection (init-time only, never carried into apply):
+            # lets the optimizer identify these buffer-like params and
+            # exclude them from updates entirely — in torch they are
+            # buffers, so weight decay never touches them either
+            # (train/state.frozen_param_prefixes).
+            self.variable(
+                "frozen_marker", "affine", lambda: jnp.zeros((), jnp.int32)
+            )
         mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((self.features,))
         )

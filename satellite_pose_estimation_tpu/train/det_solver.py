@@ -123,7 +123,9 @@ class DetSolver(CheckpointMixin):
             self.model, jax.random.PRNGKey(self.seed),
             jnp.zeros((2, self.resize, self.resize, 3), jnp.float32),
             self.train_cfg,
-            tx=lambda params: c.build_tx(params),
+            tx=lambda params, frozen: c.build_tx(
+                params, frozen_prefixes=frozen
+            ),
         )
 
         # data parallelism: replicate params over the largest mesh that

@@ -199,13 +199,19 @@ OPTIMIZERS: Dict[str, Callable] = {
 
 def build_optimizer(optim_cfg: dict, params, steps_per_epoch: int = 1,
                     sched_cfg: Optional[dict] = None,
-                    clip_max_norm: float = 0.0):
+                    clip_max_norm: float = 0.0,
+                    frozen_prefixes: frozenset = frozenset()):
     """Full R2 optimizer section -> one optax transformation.
 
     ``optim_cfg`` is the YAML ``optimizer:`` dict (type / lr / betas /
     weight_decay / momentum / params-group list); ``sched_cfg`` the
     ``lr_scheduler:`` dict. Per-group ``lr`` rescales the shared schedule
     (torch schedulers scale every group's base lr by the same factor).
+
+    ``frozen_prefixes``: module paths of FrozenBatchNorm instances (see
+    train/state.frozen_param_prefixes) — their scale/bias are torch
+    BUFFERS, invisible to the reference's named_parameters regex groups
+    and never touched by the optimizer (incl. weight decay).
     """
     kind = optim_cfg.get("type", "AdamW")
     if kind not in OPTIMIZERS:
@@ -215,9 +221,27 @@ def build_optimizer(optim_cfg: dict, params, steps_per_epoch: int = 1,
     base_lr = float(base.pop("lr", 1e-4))
     group_cfgs = optim_cfg.get("params", []) or []
 
+    def _freeze_labels(labels_tree):
+        from ..train.state import _is_frozen
+
+        flat = flax.traverse_util.flatten_dict(labels_tree)
+        flat = {
+            k: ("frozen" if _is_frozen(k, frozen_prefixes) else v)
+            for k, v in flat.items()
+        }
+        return flax.traverse_util.unflatten_dict(flat)
+
     if not group_cfgs:  # single group: no labelling machinery needed
         sched = make_schedule(sched_cfg, base_lr, steps_per_epoch)
         tx = OPTIMIZERS[kind](sched, **base)
+        if frozen_prefixes:
+            labels = _freeze_labels(flax.traverse_util.unflatten_dict({
+                k: "main" for k in flax.traverse_util.flatten_dict(params)
+            }))
+            tx = optax.multi_transform(
+                {"main": tx, "frozen": optax.set_to_zero()},
+                lambda _: labels,
+            )
         if clip_max_norm and clip_max_norm > 0:
             tx = optax.chain(optax.clip_by_global_norm(clip_max_norm), tx)
         return tx
@@ -230,6 +254,9 @@ def build_optimizer(optim_cfg: dict, params, steps_per_epoch: int = 1,
         glr = float(kw.pop("lr", base_lr))
         sched = make_schedule(sched_cfg, glr, steps_per_epoch)
         transforms[f"g{gi}"] = OPTIMIZERS[kind](sched, **kw)
+    if frozen_prefixes:
+        labels_tree = _freeze_labels(labels_tree)
+        transforms["frozen"] = optax.set_to_zero()
 
     tx = optax.multi_transform(transforms, lambda _: labels_tree)
     if clip_max_norm and clip_max_norm > 0:

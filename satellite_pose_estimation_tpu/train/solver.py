@@ -203,6 +203,7 @@ class SpeedSolver(CheckpointMixin):
 
         steps_per_epoch = max(len(self.train_ds) // self.batch_size, 1)
         self.train_cfg = cfg.train_config(steps_per_epoch)
+        self.lr_schedule = cfg.lr_schedule_fn(steps_per_epoch)
         self.criterion_cfg = cfg.criterion_config()
 
         model = cfg.build_model()
@@ -213,7 +214,9 @@ class SpeedSolver(CheckpointMixin):
         )
         self.state = create_train_state(
             model, rng, sample, self.train_cfg,
-            tx=lambda params: cfg.build_tx(params, steps_per_epoch),
+            tx=lambda params, frozen: cfg.build_tx(
+                params, steps_per_epoch, frozen_prefixes=frozen
+            ),
         )
 
         if self.mesh is None:
@@ -342,6 +345,10 @@ class SpeedSolver(CheckpointMixin):
                     raise FloatingPointError(
                         f"Loss is {host_losses['loss_total']}, stopping"
                     )
+                # train_lr meter (reference log.txt key, R1/analyze_log.py:13)
+                host_losses["lr"] = float(
+                    self.lr_schedule(int(self.state.step))
+                )
                 logger.update(**host_losses)
         return {k: m.global_avg for k, m in logger.meters.items()}
 

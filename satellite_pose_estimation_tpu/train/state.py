@@ -57,16 +57,38 @@ def _multistep_schedule(base_lr, drop_steps, gamma):
     return optax.piecewise_constant_schedule(base_lr, boundaries)
 
 
+def frozen_param_prefixes(variables) -> frozenset:
+    """Module paths of FrozenBatchNorm instances, read from the init-time
+    'frozen_marker' collection (models/layers.py). Their scale/bias params
+    are torch BUFFERS (absent from named_parameters, R1/models/
+    backbone.py:18-54): the optimizer must never update them — not even
+    via decoupled weight decay, which optax applies to zero-grad params."""
+    marker = variables.get("frozen_marker", {})
+    flat = flax.traverse_util.flatten_dict(marker)
+    return frozenset(path[:-1] for path in flat)
+
+
+def _is_frozen(path, frozen_prefixes) -> bool:
+    return path[-1] in ("scale", "bias") and path[:-1] in frozen_prefixes
+
+
 def make_optimizer(cfg: TrainConfig, params,
-                   backbone_predicate: Optional[Callable] = None):
-    """AdamW with a separate backbone LR group + clip + MultiStep schedule."""
+                   backbone_predicate: Optional[Callable] = None,
+                   frozen_prefixes: frozenset = frozenset()):
+    """AdamW with a separate backbone LR group + clip + MultiStep schedule.
+    FrozenBatchNorm affines (buffers in torch) get no updates at all."""
     if backbone_predicate is None:
         backbone_predicate = lambda path: path and path[0] == "backbone"
 
     def label_fn(tree):
         flat = flax.traverse_util.flatten_dict(tree)
         labels = {
-            k: ("backbone" if backbone_predicate(k) else "main") for k in flat
+            k: (
+                "frozen"
+                if _is_frozen(k, frozen_prefixes)
+                else ("backbone" if backbone_predicate(k) else "main")
+            )
+            for k in flat
         }
         return flax.traverse_util.unflatten_dict(labels)
 
@@ -81,7 +103,11 @@ def make_optimizer(cfg: TrainConfig, params,
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.clip_max_norm),
         optax.multi_transform(
-            {"backbone": adamw(cfg.lr_backbone), "main": adamw(cfg.lr)},
+            {
+                "backbone": adamw(cfg.lr_backbone),
+                "main": adamw(cfg.lr),
+                "frozen": optax.set_to_zero(),
+            },
             label_fn,
         ),
     )
@@ -96,12 +122,13 @@ def create_train_state(model, rng, sample_input, cfg: TrainConfig,
     variables = model.init(rng, sample_input, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    frozen = frozen_param_prefixes(variables)
     if tx is None:
-        tx = make_optimizer(cfg, params, backbone_predicate)
+        tx = make_optimizer(cfg, params, backbone_predicate, frozen)
     elif callable(tx) and not isinstance(tx, optax.GradientTransformation):
-        tx = tx(params)  # factory: regex groups need the param names
+        tx = tx(params, frozen)  # factory: regex groups need param names
         if tx is None:
-            tx = make_optimizer(cfg, params, backbone_predicate)
+            tx = make_optimizer(cfg, params, backbone_predicate, frozen)
     opt_state = tx.init(params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),

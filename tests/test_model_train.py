@@ -70,6 +70,48 @@ def test_train_step_decreases_loss(rng):
     assert losses_hist[-1] < losses_hist[0], losses_hist
 
 
+def test_frozen_bn_affines_never_updated(rng):
+    """Torch buffer contract (R1/models/backbone.py:18-54): FrozenBatchNorm
+    scale/bias must be BIT-EQUAL after real optimizer steps — zero grads
+    alone are not enough, decoupled weight decay would still shrink them."""
+    import flax
+    from satellite_pose_estimation_tpu.train.state import (
+        frozen_param_prefixes,
+    )
+
+    model = DETRKeypointModel(TINY)  # default bn="frozen_bn"
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 64, 64, 3), jnp.float32),
+        train=False,
+    )
+    frozen = frozen_param_prefixes(variables)
+    assert frozen, "frozen_marker collection missing"
+
+    cfg = TrainConfig(lr=1e-2, weight_decay=0.1)  # aggressive decay
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        jnp.zeros((2, 64, 64, 3), jnp.float32), cfg,
+    )
+    flat0 = {
+        k: np.asarray(v)
+        for k, v in flax.traverse_util.flatten_dict(state.params).items()
+    }
+    step = make_train_step(CriterionConfig(), cfg, AugmentConfig())
+    batch = {k: jnp.asarray(v) for k, v in make_batch(rng, 2).items()}
+    for i in range(2):
+        state, _ = step(state, batch, jax.random.PRNGKey(i + 1))
+
+    flat1 = flax.traverse_util.flatten_dict(state.params)
+    n_frozen = n_moved = 0
+    for k, v1 in flat1.items():
+        if k[-1] in ("scale", "bias") and k[:-1] in frozen:
+            np.testing.assert_array_equal(np.asarray(v1), flat0[k]), k
+            n_frozen += 1
+        elif not np.array_equal(np.asarray(v1), flat0[k]):
+            n_moved += 1
+    assert n_frozen > 0 and n_moved > 0
+
+
 def test_eval_step_logs_raw_aux_logits(rng):
     """Shipped-behavior quirk, reproduced: the eval log's aux_points_N
     entries carry the RAW aux-layer pred_logits — the reference collects

@@ -274,3 +274,28 @@ def test_shipped_speed_optimizer_spec_builds(rtdetr_params):
     # g2 = encoder/decoder norm+bias no-decay group
     assert all("norm" in n.lower() or "bias" in n.lower()
                for n in by_label["g2"]), by_label["g2"][:5]
+
+
+def test_lr_schedule_fn_host_meter():
+    """cfg.lr_schedule_fn mirrors the tx's main-group schedule: MultiStep
+    drops for plain sections, registry schedules otherwise (feeds the
+    train_lr meter, the reference's log.txt key R1/analyze_log.py:13)."""
+    from satellite_pose_estimation_tpu.core.yaml_config import YAMLConfig
+
+    plain = YAMLConfig(cfg={
+        "task": "landmarker",
+        "optimizer": {"lr": 3e-4},
+        "lr_scheduler": {"milestones": [2], "gamma": 0.1},
+    })
+    sched = plain.lr_schedule_fn(steps_per_epoch=10)
+    assert abs(sched(0) - 3e-4) < 1e-12
+    assert abs(sched(25) - 3e-5) < 1e-12
+
+    cosine = YAMLConfig(cfg={
+        "task": "landmarker",
+        "optimizer": {"type": "SGD", "lr": 1e-2},
+        "lr_scheduler": {"type": "CosineAnnealingLR", "T_max": 4},
+    })
+    sched_c = cosine.lr_schedule_fn(steps_per_epoch=1)
+    assert abs(float(sched_c(0)) - 1e-2) < 1e-9
+    assert float(sched_c(2)) < 1e-2  # decayed mid-cycle
