@@ -59,28 +59,59 @@ def _reference_attention(q, k, v, sm_scale):
     ).astype(q.dtype)
 
 
+def _q_block_rows(T: int) -> int:
+    """Largest q-row strip whose f32 score block (rows, T) fits the VMEM
+    budget: the kernel body is identical whether the strip is the whole
+    sequence (224/256 inputs, T<=1344) or a slice of it (512 input,
+    T=4096 -> 512-row strips; each row still sees the full T, so softmax
+    needs no streaming bookkeeping). Returns 0 if no sublane-aligned
+    divisor of T fits (caller falls back to plain XLA)."""
+    if T * T * 4 <= _VMEM_SCORE_BUDGET_BYTES:
+        return T
+    max_rows = _VMEM_SCORE_BUDGET_BYTES // (T * 4)
+    for rows in range(min(max_rows, T), 7, -1):
+        if T % rows == 0 and rows % 8 == 0:
+            return rows
+    return 0
+
+
 def _fused_tpu(q, k, v, sm_scale, interpret: bool = False):
     B, H, T, D = q.shape
+    rows = _q_block_rows(T)
     qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
-    spec = pl.BlockSpec((1, 1, T, D), lambda b, h: (b, h, 0, 0))
+    qspec = pl.BlockSpec((1, 1, rows, D), lambda b, h, i: (b, h, i, 0))
+    kvspec = pl.BlockSpec((1, 1, T, D), lambda b, h, i: (b, h, 0, 0))
     return pl.pallas_call(
         _attn_kernel,
-        grid=(B, H),
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
+        grid=(B, H, T // rows),
+        in_specs=[qspec, kvspec, kvspec],
+        out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
         interpret=interpret,
     )(qs, k, v)
+
+
+# Whole-sequence kernels hold the full (T, T) f32 score matrix in VMEM:
+# fine through T=1344 (7.4 MB, the 256-input RT-DETR pyramid) but the
+# 512-input DETR encoder is T=4096 -> 64 MB, past the ~16 MB scoped-vmem
+# limit (the remote compiler hard-fails). Static trace-time gate; above it
+# the XLA path runs (scores in HBM — correct, just not score-traffic-free).
+_VMEM_SCORE_BUDGET_BYTES = 12 * 2**20
+
+
+def _fits_vmem(T: int) -> bool:
+    return T * T * 4 <= _VMEM_SCORE_BUDGET_BYTES
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
 def fused_self_attention(q, k, v, sm_scale: float):
     """softmax(sm_scale * q @ k^T) @ v over (B, H, T, D) inputs.
 
-    TPU: single-pass Pallas kernel, zero score HBM traffic. Other backends
-    (CPU tests): plain XLA with identical math.
+    TPU: single-pass Pallas kernel, zero score HBM traffic — whole-sequence
+    when the f32 score matrix fits VMEM, q-row-blocked otherwise (512-input
+    T=4096). Other backends (CPU tests): plain XLA with identical math.
     """
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and _q_block_rows(q.shape[2]) > 0:
         return _fused_tpu(q, k, v, sm_scale)
     return _reference_attention(q, k, v, sm_scale)
 
@@ -135,7 +166,7 @@ def _bwd_tpu(q, k, v, g, sm_scale, interpret: bool = False):
 
 def _bwd(sm_scale, res, g):
     q, k, v = res
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and _fits_vmem(q.shape[2]):
         return _bwd_tpu(q, k, v, g, sm_scale)
 
     # CPU/other backends: recompute in plain XLA, input dtype (an

@@ -88,3 +88,36 @@ def test_pallas_backward_kernel_matches_xla_grads(rng):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(rv),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_vmem_gate_thresholds():
+    """Whole-seq kernels hold the full f32 score matrix in VMEM: the
+    224/256-input sequences (T=784/1024/1344) run whole-sequence; the
+    512-input DETR encoder (T=4096, 64 MB of scores) runs the q-row-blocked
+    forward (512-row strips, 8 MB each) and the XLA-recompute backward —
+    the whole-seq backward kernel would overflow scoped VMEM there."""
+    from satellite_pose_estimation_tpu.ops.fused_attention import (
+        _fits_vmem,
+        _q_block_rows,
+    )
+
+    assert _fits_vmem(784) and _fits_vmem(1024) and _fits_vmem(1344)
+    for t in (784, 1024, 1344):
+        assert _q_block_rows(t) == t
+    assert not _fits_vmem(4096)
+    assert _q_block_rows(4096) == 512
+
+
+def test_q_blocked_kernel_matches_reference(rng, monkeypatch):
+    """Force the q-row-blocked grid on a small shape (budget shrunk so
+    T=96 splits into 32-row strips) and check exactness vs plain XLA."""
+    import satellite_pose_estimation_tpu.ops.fused_attention as fa
+
+    monkeypatch.setattr(fa, "_VMEM_SCORE_BUDGET_BYTES", 16384)
+    assert fa._q_block_rows(96) == 32
+    q, k, v = _qkv(rng, B=2, H=2, T=96, D=32)
+    scale = 1.0 / np.sqrt(32)
+    out_kernel = fa._fused_tpu(q, k, v, scale, interpret=True)
+    out_ref = _reference_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out_kernel), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
