@@ -121,52 +121,85 @@ def _fwd(q, k, v, sm_scale):
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref):
-    """Whole-sequence attention backward for one (batch, head):
-    recompute s/p in VMEM (flash-style — nothing quadratic is saved to HBM),
-    then dv = p^T g, ds = p * (g v^T - rowsum(p * g v^T)), dq = ds k,
-    dk = ds^T q. q arrives pre-scaled, so dq leaves pre-scaled too and the
-    wrapper applies sm_scale once."""
-    q = q_ref[0, 0]  # (T, D), pre-scaled
-    k = k_ref[0, 0]
+    """Attention backward for one (batch, head) q-row strip: recompute the
+    strip's s/p in VMEM (flash-style — nothing quadratic is saved to HBM),
+    then dv += p^T g, ds = p * (g v^T - rowsum(p * g v^T)), dq = ds k,
+    dk += ds^T q. dq is per-strip; dk/dv sum contributions from every strip
+    into an f32 block that stays VMEM-resident across the (innermost) strip
+    grid axis and is written back once. q arrives pre-scaled, so dq leaves
+    pre-scaled too and the wrapper applies sm_scale once. One kernel serves
+    both the whole-sequence case (one strip) and 512-input T=4096."""
+    i = pl.program_id(2)
+    q = q_ref[0, 0]  # (rows, D), pre-scaled
+    k = k_ref[0, 0]  # (T, D)
     v = v_ref[0, 0]
-    g = g_ref[0, 0]
+    g = g_ref[0, 0]  # (rows, D)
     mm = lambda a, b, dims: jax.lax.dot_general(
         a, b, (dims, ((), ())), preferred_element_type=jnp.float32
     )
-    s = mm(q, k, ((1,), (1,)))  # (T, T) f32
+    s = mm(q, k, ((1,), (1,)))  # (rows, T) f32
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     l = jnp.sum(e, axis=-1, keepdims=True)
-    p = e / l  # f32 (T, T), VMEM only
+    p = e / l  # f32 (rows, T), VMEM only
     pb = p.astype(v.dtype)
-    dv_ref[0, 0] = mm(pb, g, ((0,), (0,))).astype(dv_ref.dtype)  # p^T g
-    dp = mm(g, v, ((1,), (1,)))  # (T, T) f32
+    dv_part = mm(pb, g, ((0,), (0,)))  # p^T g: (T, D) f32
+    dp = mm(g, v, ((1,), (1,)))  # (rows, T) f32
     ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
     dsb = ds.astype(q.dtype)
     dq_ref[0, 0] = mm(dsb, k, ((1,), (0,))).astype(dq_ref.dtype)
-    dk_ref[0, 0] = mm(dsb, q, ((0,), (0,))).astype(dk_ref.dtype)
+    dk_part = mm(dsb, q, ((0,), (0,)))  # (T, D) f32
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0, 0] = dk_part
+        dv_ref[0, 0] = dv_part
+
+    @pl.when(i > 0)
+    def _accum():
+        dk_ref[0, 0] += dk_part
+        dv_ref[0, 0] += dv_part
+
+
+def _bwd_q_block_rows(T: int) -> int:
+    """Strip height for the backward: two (rows, T) f32 score-shaped
+    intermediates (p and dp) are live at once, so halve the forward's
+    budget per matrix. Whole-sequence through T=1344 (the shipped 224/256
+    inputs — unchanged behavior); T=4096 lands on 256-row strips."""
+    if _fits_vmem(T):
+        return T
+    max_rows = (_VMEM_SCORE_BUDGET_BYTES // 2) // (T * 4)
+    for rows in range(min(max_rows, T), 7, -1):
+        if T % rows == 0 and rows % 8 == 0:
+            return rows
+    return 0
 
 
 def _bwd_tpu(q, k, v, g, sm_scale, interpret: bool = False):
     B, H, T, D = q.shape
+    rows = _bwd_q_block_rows(T)
     qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
-    spec = pl.BlockSpec((1, 1, T, D), lambda b, h: (b, h, 0, 0))
-    shp = jax.ShapeDtypeStruct((B, H, T, D), q.dtype)
+    qspec = pl.BlockSpec((1, 1, rows, D), lambda b, h, i: (b, h, i, 0))
+    kvspec = pl.BlockSpec((1, 1, T, D), lambda b, h, i: (b, h, 0, 0))
     dq, dk, dv = pl.pallas_call(
         _attn_bwd_kernel,
-        grid=(B, H),
-        in_specs=[spec] * 4,
-        out_specs=[spec] * 3,
-        out_shape=[shp, shp, shp],
+        grid=(B, H, T // rows),
+        in_specs=[qspec, kvspec, kvspec, qspec],
+        out_specs=[qspec, kvspec, kvspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, T, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, T, D), jnp.float32),
+        ],
         interpret=interpret,
     )(qs, k, v, g.astype(q.dtype))
     dq = (dq.astype(jnp.float32) * sm_scale).astype(q.dtype)
-    return dq, dk, dv
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 def _bwd(sm_scale, res, g):
     q, k, v = res
-    if jax.default_backend() == "tpu" and _fits_vmem(q.shape[2]):
+    if jax.default_backend() == "tpu" and _bwd_q_block_rows(q.shape[2]) > 0:
         return _bwd_tpu(q, k, v, g, sm_scale)
 
     # CPU/other backends: recompute in plain XLA, input dtype (an

@@ -22,6 +22,7 @@ from ..geometry.solvers import (
     solve_pose_simple,
 )
 from ..losses.criterion import CriterionConfig, set_criterion
+from ..models.postprocess import collect_aux_points
 from ..ops.image_warp import crop_resize_cubic_mxu as crop_resize_cubic
 from .ema import ema_update
 from .state import TrainConfig, TrainState
@@ -197,17 +198,11 @@ def make_eval_step(
             "probs": probs,
             "sigmas": sigmas_pix,
         }
-        # Aux decoder layers for the eval log. Shipped-behavior quirk,
-        # reproduced: the reference collects the aux layers' RAW
-        # pred_logits (R2/solver/speed_engine.py:177-179) but stores them
-        # under keys named aux_points_0..2 (R2/.../speed_dataset.py:417-419
-        # — leftover naming from a commented-out pred_pts variant). The
-        # eval JSONs therefore carry logits under those keys.
-        for i, aux in enumerate(outputs.get("aux_outputs", [])):
-            if "pred_logits" in aux:
-                result[f"aux_points_{i}"] = aux["pred_logits"].astype(
-                    jnp.float32
-                )
+        # Aux decoder layers for the eval log: raw aux pred_logits under
+        # point-named keys — the reference's shipped-behavior quirk,
+        # documented at models/postprocess.collect_aux_points.
+        for i, logits in enumerate(collect_aux_points(outputs, None)):
+            result[f"aux_points_{i}"] = logits
         if "quat_gt" in batch:
             scores = speed_score_batch(
                 quat, tvec, batch["quat_gt"], batch["tvec_gt"]

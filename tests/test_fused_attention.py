@@ -93,10 +93,11 @@ def test_pallas_backward_kernel_matches_xla_grads(rng):
 def test_vmem_gate_thresholds():
     """Whole-seq kernels hold the full f32 score matrix in VMEM: the
     224/256-input sequences (T=784/1024/1344) run whole-sequence; the
-    512-input DETR encoder (T=4096, 64 MB of scores) runs the q-row-blocked
-    forward (512-row strips, 8 MB each) and the XLA-recompute backward —
-    the whole-seq backward kernel would overflow scoped VMEM there."""
+    512-input DETR encoder (T=4096, 64 MB of scores) runs q-row-blocked —
+    512-row strips forward (one live score matrix) and 256-row strips
+    backward (p and dp live at once, so half the strip height)."""
     from satellite_pose_estimation_tpu.ops.fused_attention import (
+        _bwd_q_block_rows,
         _fits_vmem,
         _q_block_rows,
     )
@@ -104,8 +105,10 @@ def test_vmem_gate_thresholds():
     assert _fits_vmem(784) and _fits_vmem(1024) and _fits_vmem(1344)
     for t in (784, 1024, 1344):
         assert _q_block_rows(t) == t
+        assert _bwd_q_block_rows(t) == t
     assert not _fits_vmem(4096)
     assert _q_block_rows(4096) == 512
+    assert _bwd_q_block_rows(4096) == 256
 
 
 def test_q_blocked_kernel_matches_reference(rng, monkeypatch):
@@ -121,3 +124,29 @@ def test_q_blocked_kernel_matches_reference(rng, monkeypatch):
     out_ref = _reference_attention(q, k, v, scale)
     np.testing.assert_allclose(np.asarray(out_kernel), np.asarray(out_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_q_blocked_backward_matches_xla_grads(rng, monkeypatch):
+    """Force the strip-accumulating backward grid on a small shape (budget
+    shrunk so T=96 splits into 16-row strips; dk/dv accumulate across 6
+    strips in f32) and check gradient exactness vs plain XLA."""
+    import satellite_pose_estimation_tpu.ops.fused_attention as fa
+
+    monkeypatch.setattr(fa, "_VMEM_SCORE_BUDGET_BYTES", 16384)
+    assert fa._bwd_q_block_rows(96) == 16
+    q, k, v = _qkv(rng, B=2, H=2, T=96, D=32)
+    scale = 1.0 / np.sqrt(32)
+
+    def loss(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v, scale) ** 2)
+
+    out = _reference_attention(q, k, v, scale)
+    g = 2.0 * out
+    dq, dk, dv = fa._bwd_tpu(q, k, v, g, scale, interpret=True)
+    rq, rk, rv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv),
+                               rtol=1e-4, atol=1e-5)
