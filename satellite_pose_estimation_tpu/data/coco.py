@@ -47,18 +47,33 @@ class CocoDetection:
                 continue
             self.anns_by_img[ann["image_id"]].append(ann)
         self.categories = coco.get("categories", [])
+        # Repeat-epoch decoded-frame RAM cache, same policy as the SPEED
+        # datasets (data/dataset._decode_cache_budget).
+        from .dataset import _decode_cache_budget
+
+        self._decode_cache = (
+            {} if len(self.img_ids) <= _decode_cache_budget() else None
+        )
 
     def __len__(self):
         return len(self.img_ids)
 
-    def __getitem__(self, idx: int) -> dict:
+    def _decode_cached(self, path: str) -> np.ndarray:
         from PIL import Image
 
+        if self._decode_cache is not None:
+            img = self._decode_cache.get(path)
+            if img is not None:
+                return img
+        img = np.asarray(Image.open(path).convert("RGB"))
+        if self._decode_cache is not None:
+            self._decode_cache[path] = img
+        return img
+
+    def __getitem__(self, idx: int) -> dict:
         img_id = self.img_ids[idx]
         info = self.images[img_id]
-        img = np.asarray(
-            Image.open(osp.join(self.img_dir, info["file_name"])).convert("RGB")
-        )
+        img = self._decode_cached(osp.join(self.img_dir, info["file_name"]))
         H, W = img.shape[:2]
         boxes, labels = [], []
         for ann in self.anns_by_img[img_id]:

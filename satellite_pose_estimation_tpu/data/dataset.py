@@ -34,6 +34,22 @@ def _decode(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGB"))
 
 
+def _decode_cache_budget() -> int:
+    """Images the decoded-frame RAM cache may hold (0 disables).
+
+    The reference hides JPEG decode behind torch DataLoader workers
+    (R1/main.py DataLoader(num_workers=...)); on a small-host TPU frontend
+    (this box: 1 core, ~22 ms/frame) re-decoding every epoch serializes
+    with the device step, so repeat-epoch reads come from RAM instead.
+    ``SPE_DECODE_CACHE`` overrides: '0' disables, an integer caps the
+    image count. Default 1024 ≈ 7 GB of 1920x1200 SPEED frames.
+    """
+    import os
+
+    v = os.environ.get("SPE_DECODE_CACHE", "")
+    return 1024 if v == "" else int(v)
+
+
 def pack_crop(img: np.ndarray, clip_bbox: np.ndarray, pack_size: int = 512):
     """Copy the clip region into a fixed (pack_size, pack_size, 3) buffer.
 
@@ -101,13 +117,31 @@ class SpeedTrainDataset:
             osp.join(data_root, "annos", ann_file),
             osp.join(data_root, "annos", index_file),
         )
+        # Multi-epoch datasets keep decoded frames in RAM when they fit
+        # (dict writes are GIL-atomic — safe under the threaded loader;
+        # a rare duplicate decode is benign). Single-pass submission
+        # datasets stay uncached.
+        self._decode_cache: Optional[dict] = (
+            {} if len(self.data_infos) <= _decode_cache_budget() else None
+        )
 
     def __len__(self):
         return len(self.data_infos)
 
+    def _decode_cached(self, path: str) -> np.ndarray:
+        if self._decode_cache is None:
+            return _decode(path)
+        img = self._decode_cache.get(path)
+        if img is None:
+            img = _decode(path)
+            self._decode_cache[path] = img
+        return img
+
     def __getitem__(self, idx: int) -> dict:
         info = self.data_infos[idx]
-        img = _decode(osp.join(self.data_root, self.img_dir, info["filename"]))
+        img = self._decode_cached(
+            osp.join(self.data_root, self.img_dir, info["filename"])
+        )
         H, W = img.shape[:2]
         landmarks = np.asarray(info["landmarks"], np.float64)[:, :2]
         bbox = np.asarray(info["bbox_xxyy"], np.float64)

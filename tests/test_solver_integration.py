@@ -235,3 +235,39 @@ def test_batches_prefetch_equivalence(tmp_path, rng):
     ds.img_dir = "does/not/exist"
     with pytest.raises(Exception):
         list(ds.batches(2, prefetch=2))
+
+
+def test_decode_cache_equivalence(tmp_path, rng, monkeypatch):
+    """The decoded-frame RAM cache must be transparent: identical samples
+    with the cache on (default, small dataset) and off (SPE_DECODE_CACHE=0),
+    and repeat-epoch reads on the deterministic val path are bit-identical
+    to the first epoch."""
+    from satellite_pose_estimation_tpu.data.dataset import SpeedTrainDataset
+
+    root = make_fake_speed(str(tmp_path), n_images=6, rng=rng)
+
+    def make_ds(train):
+        return SpeedTrainDataset(
+            root, ann_file="wz_train.json", index_file="train_t.txt",
+            img_dir="images/train", resize=64, train=train, seed=3,
+        )
+
+    cached = make_ds(train=True)
+    assert cached._decode_cache is not None
+    monkeypatch.setenv("SPE_DECODE_CACHE", "0")
+    plain = make_ds(train=True)
+    assert plain._decode_cache is None
+    monkeypatch.delenv("SPE_DECODE_CACHE")
+
+    for i in range(len(cached)):
+        a, b = cached[i], plain[i]
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["landmarks_buf"], b["landmarks_buf"])
+    assert len(cached._decode_cache) == len(cached)
+
+    # repeat epoch through the cache: val crops are deterministic
+    val = make_ds(train=False)
+    e1 = [val[i]["image"] for i in range(len(val))]
+    e2 = [val[i]["image"] for i in range(len(val))]
+    for a, b in zip(e1, e2):
+        np.testing.assert_array_equal(a, b)
