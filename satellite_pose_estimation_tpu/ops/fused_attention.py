@@ -81,12 +81,22 @@ def _fused_tpu(q, k, v, sm_scale, interpret: bool = False):
     qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
     qspec = pl.BlockSpec((1, 1, rows, D), lambda b, h, i: (b, h, i, 0))
     kvspec = pl.BlockSpec((1, 1, T, D), lambda b, h, i: (b, h, 0, 0))
+    # At B>=8 T=4096 XLA's output-placement pass VMEM-pins the 16.8 MB
+    # output tensor ("S(1)" layout) in a consumer-dependent way, and the
+    # op's stack frame (pinned output + kernel scoped) blows the DEFAULT
+    # 16 MB scoped-vmem limit at compile time. Two defenses, both needed
+    # (aliasing alone was measured insufficient on the backward): alias
+    # the dead-after-call pre-scaled q buffer to the output, and raise
+    # the per-kernel scoped-vmem limit toward the 128 MB physical VMEM
+    # (the same move jax's own flash kernels make).
     return pl.pallas_call(
         _attn_kernel,
         grid=(B, H, T // rows),
         in_specs=[qspec, kvspec, kvspec],
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(qs, k, v)
 
@@ -97,6 +107,14 @@ def _fused_tpu(q, k, v, sm_scale, interpret: bool = False):
 # limit (the remote compiler hard-fails). Static trace-time gate; above it
 # the XLA path runs (scores in HBM — correct, just not score-traffic-free).
 _VMEM_SCORE_BUDGET_BYTES = 12 * 2**20
+
+# Raised per-kernel scoped-vmem limit (default 16 MB; v5e physical VMEM is
+# 128 MB). Needed because XLA batch-dependently VMEM-pins a large pallas
+# output ("S(1)"): at B=8 T=4096 the pinned 16.8 MB dq alone exceeds the
+# default limit, a compile-time hard fail, regardless of strip height and
+# of output aliasing. Measured on the real v5e remote compiler
+# (tools_dev/attn4096_{vmem_probe,pin_ab,validate}.py).
+_VMEM_LIMIT = 100 * 2**20
 
 
 def _fits_vmem(T: int) -> bool:
@@ -162,13 +180,18 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref):
 
 
 def _bwd_q_block_rows(T: int) -> int:
-    """Strip height for the backward: two (rows, T) f32 score-shaped
-    intermediates (p and dp) are live at once, so halve the forward's
-    budget per matrix. Whole-sequence through T=1344 (the shipped 224/256
-    inputs — unchanged behavior); T=4096 lands on 256-row strips."""
+    """Strip height for the backward: ~5 (rows, T) f32 score-shaped
+    intermediates (s/e/p, dp, ds and their bf16 casts, partially reused)
+    are live at once — quarter the forward's per-matrix budget. Whole
+    -sequence through T=1344 (the shipped 224/256 inputs — unchanged
+    behavior); T=4096 lands on 128-row strips. Calibrated on the real
+    v5e remote compiler (tools_dev/attn4096_vmem_probe.py): 256-row
+    strips hard-fail the 16 MB scoped-vmem limit at batch>=8 (the
+    compiler additionally VMEM-pins the 16.8 MB dq output — "S(1)" —
+    in a batch-dependent way), 128-row strips compile and run."""
     if _fits_vmem(T):
         return T
-    max_rows = (_VMEM_SCORE_BUDGET_BYTES // 2) // (T * 4)
+    max_rows = (_VMEM_SCORE_BUDGET_BYTES // 4) // (T * 4)
     for rows in range(min(max_rows, T), 7, -1):
         if T % rows == 0 and rows % 8 == 0:
             return rows
@@ -181,6 +204,11 @@ def _bwd_tpu(q, k, v, g, sm_scale, interpret: bool = False):
     qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
     qspec = pl.BlockSpec((1, 1, rows, D), lambda b, h, i: (b, h, i, 0))
     kvspec = pl.BlockSpec((1, 1, T, D), lambda b, h, i: (b, h, 0, 0))
+    # The raised _VMEM_LIMIT is what admits the compiler's batch-dependent
+    # VMEM-pinning of the dq tuple element (S(1), 16.8 MB at B=8 T=4096 —
+    # over the default 16 MB limit on its own; aliasing did NOT stop the
+    # pinning here, unlike the forward). qs is dead after this call, so
+    # the alias still saves one HBM output allocation.
     dq, dk, dv = pl.pallas_call(
         _attn_bwd_kernel,
         grid=(B, H, T // rows),
@@ -191,6 +219,8 @@ def _bwd_tpu(q, k, v, g, sm_scale, interpret: bool = False):
             jax.ShapeDtypeStruct((B, H, T, D), jnp.float32),
             jax.ShapeDtypeStruct((B, H, T, D), jnp.float32),
         ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(qs, k, v, g.astype(q.dtype))
     dq = (dq.astype(jnp.float32) * sm_scale).astype(q.dtype)

@@ -108,7 +108,7 @@ def test_vmem_gate_thresholds():
         assert _bwd_q_block_rows(t) == t
     assert not _fits_vmem(4096)
     assert _q_block_rows(4096) == 512
-    assert _bwd_q_block_rows(4096) == 256
+    assert _bwd_q_block_rows(4096) == 128  # calibrated on the real v5e compiler
 
 
 def test_q_blocked_kernel_matches_reference(rng, monkeypatch):
@@ -133,7 +133,7 @@ def test_q_blocked_backward_matches_xla_grads(rng, monkeypatch):
     import satellite_pose_estimation_tpu.ops.fused_attention as fa
 
     monkeypatch.setattr(fa, "_VMEM_SCORE_BUDGET_BYTES", 16384)
-    assert fa._bwd_q_block_rows(96) == 16
+    assert fa._bwd_q_block_rows(96) == 8
     q, k, v = _qkv(rng, B=2, H=2, T=96, D=32)
     scale = 1.0 / np.sqrt(32)
 
