@@ -48,12 +48,14 @@ class CocoDetection:
             self.anns_by_img[ann["image_id"]].append(ann)
         self.categories = coco.get("categories", [])
         # Repeat-epoch decoded-frame RAM cache, same policy as the SPEED
-        # datasets (data/dataset._decode_cache_budget).
-        from .dataset import _decode_cache_budget
+        # datasets (data/dataset._decode_cache_budget): first `budget`
+        # distinct frames are cached, frozen read-only so an in-place
+        # mutation by a consumer raises instead of corrupting the cache.
+        from .dataset import _cache_insert, _decode_cache_budget
 
-        self._decode_cache = (
-            {} if len(self.img_ids) <= _decode_cache_budget() else None
-        )
+        self._cache_insert = _cache_insert
+        self._decode_budget = _decode_cache_budget()
+        self._decode_cache = {} if self._decode_budget > 0 else None
 
     def __len__(self):
         return len(self.img_ids)
@@ -66,8 +68,7 @@ class CocoDetection:
             if img is not None:
                 return img
         img = np.asarray(Image.open(path).convert("RGB"))
-        if self._decode_cache is not None:
-            self._decode_cache[path] = img
+        self._cache_insert(self._decode_cache, path, img, self._decode_budget)
         return img
 
     def __getitem__(self, idx: int) -> dict:

@@ -50,6 +50,17 @@ def _decode_cache_budget() -> int:
     return 1024 if v == "" else int(v)
 
 
+def _cache_insert(cache: Optional[dict], path: str, img: np.ndarray,
+                  budget: int) -> None:
+    """Insert a decoded frame if the cache has room (first `budget` distinct
+    frames win; later frames decode every epoch). Frames are frozen so an
+    accidental in-place mutation by a consumer raises instead of silently
+    corrupting every later epoch."""
+    if cache is not None and len(cache) < budget:
+        img.setflags(write=False)
+        cache[path] = img
+
+
 def pack_crop(img: np.ndarray, clip_bbox: np.ndarray, pack_size: int = 512):
     """Copy the clip region into a fixed (pack_size, pack_size, 3) buffer.
 
@@ -117,12 +128,14 @@ class SpeedTrainDataset:
             osp.join(data_root, "annos", ann_file),
             osp.join(data_root, "annos", index_file),
         )
-        # Multi-epoch datasets keep decoded frames in RAM when they fit
+        # Multi-epoch datasets keep up to `budget` decoded frames in RAM
         # (dict writes are GIL-atomic — safe under the threaded loader;
-        # a rare duplicate decode is benign). Single-pass submission
-        # datasets stay uncached.
+        # a rare duplicate decode is benign). Datasets larger than the
+        # budget still get partial benefit: the first `budget` distinct
+        # frames are cached, the rest decode every epoch.
+        self._decode_budget = _decode_cache_budget()
         self._decode_cache: Optional[dict] = (
-            {} if len(self.data_infos) <= _decode_cache_budget() else None
+            {} if self._decode_budget > 0 else None
         )
 
     def __len__(self):
@@ -134,7 +147,7 @@ class SpeedTrainDataset:
         img = self._decode_cache.get(path)
         if img is None:
             img = _decode(path)
-            self._decode_cache[path] = img
+            _cache_insert(self._decode_cache, path, img, self._decode_budget)
         return img
 
     def __getitem__(self, idx: int) -> dict:

@@ -53,10 +53,15 @@ def collect_aux_points(outputs, clip_bbox):
     a commented-out pred_pts variant); this mirrors that, returning the raw
     logits per aux layer. clip_bbox is accepted for API symmetry with
     postprocess() and unused, exactly as the reference never denormalizes
-    these."""
+    these.
+
+    Returns ``[(layer_index, logits), ...]`` so aux_points_i keys keep the
+    ORIGINAL aux layer index even if an aux entry ever lacked pred_logits
+    (today every decoder aux layer carries it; the reference enumerates
+    aux_outputs directly, so index stability is the eval-log contract)."""
     del clip_bbox
     return [
-        jnp.asarray(aux["pred_logits"], jnp.float32)
-        for aux in outputs.get("aux_outputs", [])
+        (i, jnp.asarray(aux["pred_logits"], jnp.float32))
+        for i, aux in enumerate(outputs.get("aux_outputs", []))
         if "pred_logits" in aux
     ]

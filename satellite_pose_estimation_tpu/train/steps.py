@@ -201,7 +201,7 @@ def make_eval_step(
         # Aux decoder layers for the eval log: raw aux pred_logits under
         # point-named keys — the reference's shipped-behavior quirk,
         # documented at models/postprocess.collect_aux_points.
-        for i, logits in enumerate(collect_aux_points(outputs, None)):
+        for i, logits in collect_aux_points(outputs, None):
             result[f"aux_points_{i}"] = logits
         if "quat_gt" in batch:
             scores = speed_score_batch(
