@@ -122,8 +122,12 @@ class CocoEvaluator:
     """COCO-protocol bbox AP. update() with per-image detections and GT;
     summarize() returns {AP, AP50, AP75}."""
 
-    IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05)
+    # pycocotools p.iouThrs = np.linspace(.5, .95, 10) — NOT arange, whose
+    # accumulated float error can flip an exact-tie IoU>=t comparison
+    # (R2/src/data/coco/coco_eval.py drives pycocotools' Params defaults)
+    IOU_THRESHOLDS = np.linspace(0.5, 0.95, 10)
     RECALL_POINTS = np.linspace(0, 1, 101)
+    MAX_DETS = 100  # p.maxDets[-1]: per-image-per-category detection cap
 
     def __init__(self):
         # per category: list of (score, matched[t]) and gt counts
@@ -143,8 +147,8 @@ class CocoEvaluator:
             d_idx = np.where(det_labels == cat)[0]
             d = det_boxes[d_idx]
             s = det_scores[d_idx]
-            order = np.argsort(-s)
-            d, s = d[order], s[order]
+            order = np.argsort(-s, kind="stable")
+            d, s = d[order][: self.MAX_DETS], s[order][: self.MAX_DETS]
             self.n_gt[cat] += len(g)
             if len(d) == 0:
                 continue
@@ -182,14 +186,17 @@ class CocoEvaluator:
         for ti in range(T):
             p = precision[:, ti]
             r = recall[:, ti]
-            # monotone precision envelope + 101-point interpolation
+            # pycocotools accumulate(): monotone precision envelope, then a
+            # STEP lookup — precision at the first detection whose recall
+            # reaches each of the 101 recall points (searchsorted left),
+            # zero past the achieved recall. NOT linear interpolation
+            # (cocoeval.py accumulate: inds = searchsorted(rc, recThrs,
+            # side='left'); q[ri] = pr[pi]).
             p_env = np.maximum.accumulate(p[::-1])[::-1]
-            ap[ti] = np.mean(
-                np.interp(self.RECALL_POINTS, r, p_env, left=p_env[0],
-                          right=0.0)
-                if len(r)
-                else 0.0
-            )
+            inds = np.searchsorted(r, self.RECALL_POINTS, side="left")
+            q = np.where(inds < len(p_env),
+                         p_env[np.minimum(inds, len(p_env) - 1)], 0.0)
+            ap[ti] = float(np.mean(q))
         return ap
 
     def summarize(self) -> dict:
