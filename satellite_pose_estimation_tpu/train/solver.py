@@ -362,7 +362,17 @@ class SpeedSolver(CheckpointMixin):
         ):
             filenames = batch.pop("filename")
             pad = batch.pop("pad", 0)
-            device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            # Shard the eval batch over the data mesh like the train path —
+            # eval is data-parallel with no cross-chip communication (the
+            # reference wraps the eval loader in DistributedSampler too,
+            # R2/src/misc/dist.py:114-126); pad_last guarantees
+            # divisibility (auto_mesh divides the val batch size).
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                device_batch = shard_batch(batch, self.mesh)
+            else:
+                device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
             results = self.eval_step(self.state, device_batch)
             results = dict(jax.device_get(results))
             # batch-mean eval losses (reference evaluate() logs criterion
