@@ -103,6 +103,7 @@ def main():
             ),
         })
     batch = pool[0]
+    extra = {}
 
     if mode == "train":
         import jax.random as jrandom
@@ -189,19 +190,36 @@ def main():
                     model = DETRKeypointModel(
                         dataclasses.replace(cfg, quantize_int8=False)
                     )
+        def time_eval(step_fn, st):
+            res = step_fn(st, batch)
+            jax.block_until_ready(res)
+            t0 = time.perf_counter()
+            outs = []
+            for i in range(iters):
+                outs.append(step_fn(st, pool[i % n_pool])["quat_pr"])
+            jax.block_until_ready(outs)
+            return batch_size * iters / (time.perf_counter() - t0)
+
         with qctx():
             eval_step = make_eval_step(
                 out_size=input_size, solver=solver_kind, quant=quant
             )
-            res = eval_step(state, batch)
-        jax.block_until_ready(res)
-        t0 = time.perf_counter()
-        outs = []
-        for i in range(iters):
-            outs.append(eval_step(state, pool[i % n_pool])["quat_pr"])
-        jax.block_until_ready(outs)
-        dt = time.perf_counter() - t0
-        imgs_per_sec = batch_size * iters / dt
+            imgs_per_sec = time_eval(eval_step, state)
+        if int8_mode == "static":
+            # Companion bf16 number in the same artifact (the int8 headline
+            # should not hide the float baseline): same state, float model.
+            extra["int8_static_imgs_per_sec"] = round(imgs_per_sec, 2)
+            if arch == "detr":
+                import dataclasses
+
+                model_f = DETRKeypointModel(
+                    dataclasses.replace(cfg, quantize_int8=False)
+                )
+                state_f = state.replace(apply_fn=model_f.apply)
+            else:
+                state_f = state  # RT-DETR quantizes via the trace context
+            eval_f = make_eval_step(out_size=input_size, solver=solver_kind)
+            extra["bf16_imgs_per_sec"] = round(time_eval(eval_f, state_f), 2)
         metric = ("end-to-end eval images/sec/chip (crop->keypoints->PnP)"
                   if arch == "detr" else
                   "end-to-end eval images/sec/chip (crop->keypoints->"
@@ -218,6 +236,7 @@ def main():
                 "mode": ({"0": "bf16", "1": "int8-dynamic",
                           "static": "int8-static-ptq"}[int8_mode]
                          if mode == "eval" else "bf16-train"),
+                **extra,
             }
         )
     )
