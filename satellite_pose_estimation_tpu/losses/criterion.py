@@ -21,6 +21,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.precision import to_loss_dtype
 from .matcher import hungarian_match
 
 
@@ -76,7 +77,7 @@ def _one_level(outputs, targets, cfg: CriterionConfig, num_points, log: bool):
     batch_idx = jnp.arange(B)[:, None].repeat(T, 1)
     tgt_classes = tgt_classes.at[batch_idx, q4t].set(labels)
 
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logp = jax.nn.log_softmax(to_loss_dtype(logits), axis=-1)
     nll = -jnp.take_along_axis(logp, tgt_classes[..., None], axis=-1)[..., 0]
     class_w = jnp.concatenate(
         [jnp.ones((cfg.num_classes,)), jnp.full((1,), cfg.eos_coef)]
@@ -94,9 +95,9 @@ def _one_level(outputs, targets, cfg: CriterionConfig, num_points, log: bool):
         else jnp.zeros_like(matched_pts)
     )
     pt_loss = _point_term(
-        matched_pts.astype(jnp.float32),
-        landmarks.astype(jnp.float32),
-        matched_sig.astype(jnp.float32),
+        to_loss_dtype(matched_pts),
+        to_loss_dtype(landmarks),
+        to_loss_dtype(matched_sig),
         cfg.point_loss,
         cfg.smooth_l1_beta,
     )

@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.hungarian import hungarian
+from ..ops.precision import to_loss_dtype
 
 
 def hungarian_match(pred_logits, pred_points, tgt_labels, tgt_points,
@@ -49,5 +50,8 @@ def hungarian_match(pred_logits, pred_points, tgt_labels, tgt_points,
     )  # (B, Q, T)
     C = cost_pts * cpts + cost_class * cclass
     # Matching is not differentiated through (reference runs it in no_grad).
-    C = jax.lax.stop_gradient(C.astype(jnp.float32))
+    # bf16 costs promote to f32; f64 stays f64 (an f32 truncation here
+    # flips assignments against the torch-parity trajectory, see
+    # tests/test_training_dynamics_parity.py).
+    C = jax.lax.stop_gradient(to_loss_dtype(C))
     return jax.vmap(hungarian)(C)

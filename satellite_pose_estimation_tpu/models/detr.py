@@ -21,6 +21,7 @@ from .layers import MLP
 from .position_encoding import PositionEmbeddingSine, PositionEmbeddingLearned
 from .resnet import Backbone8s, ResNet
 from .transformer import Transformer
+from ..ops.precision import to_loss_dtype
 
 
 @dataclasses.dataclass(frozen=True)
@@ -112,14 +113,14 @@ class DETRKeypointModel(nn.Module):
         points = nn.sigmoid(point_head(hs))  # (L, B, Q, 2)
 
         out = {
-            "pred_logits": logits[-1].astype(jnp.float32),
-            "pred_points": points[-1].astype(jnp.float32),
+            "pred_logits": to_loss_dtype(logits[-1]),
+            "pred_points": to_loss_dtype(points[-1]),
         }
         if cfg.aux_loss:
             out["aux_outputs"] = [
                 {
-                    "pred_logits": logits[i].astype(jnp.float32),
-                    "pred_points": points[i].astype(jnp.float32),
+                    "pred_logits": to_loss_dtype(logits[i]),
+                    "pred_points": to_loss_dtype(points[i]),
                 }
                 for i in range(logits.shape[0] - 1)
             ]

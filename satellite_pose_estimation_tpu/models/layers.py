@@ -58,6 +58,70 @@ class FrozenBatchNorm(nn.Module):
         return x * mult + shift
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch running-statistics semantics.
+
+    flax ``nn.BatchNorm`` blends the BIASED batch variance into the running
+    average; torch ``nn.BatchNorm2d`` stores the UNBIASED one
+    (``var * n / (n - 1)``, n = elements per channel — see torch
+    functional.batch_norm). Normalization itself uses the biased variance
+    in both frameworks, so train-mode forwards agree either way — but the
+    running stats a checkpoint carries into eval would drift by n/(n-1)
+    (14% at the 2x2-spatial deepest level of a batch-2 run). Verified
+    head-to-head in tests/test_training_dynamics_parity.py.
+
+    Variable/param naming matches flax BatchNorm ('mean'/'var',
+    'scale'/'bias') so checkpoint converters are unaffected.
+
+    ``axis_name``: reduce batch statistics over a bound mesh axis (the
+    SyncBatchNorm contract, R2/src/misc/dist.py:83 sync_bn conversion);
+    n then counts the GLOBAL batch, like torch SyncBatchNorm.
+    """
+
+    features: int
+    momentum: float = 0.9  # retention factor == 1 - torch momentum (0.1)
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+    axis_name: Any = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32),
+        )
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32),
+        )
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            stat_dtype = jnp.promote_types(x.dtype, jnp.float32)
+            xs = x.astype(stat_dtype)
+            axes = tuple(range(x.ndim - 1))
+            n = x.size // x.shape[-1]
+            mean = jnp.mean(xs, axis=axes)
+            mean2 = jnp.mean(jnp.square(xs), axis=axes)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+                n = n * jax.lax.psum(1, self.axis_name)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing() and self.is_mutable_collection(
+                    "batch_stats"):
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                # torch stores the unbiased variance in the running stat
+                unbiased = var * (n / max(n - 1, 1))
+                ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        y = (x - mean.astype(x.dtype)) * inv.astype(x.dtype)
+        return (y + bias.astype(x.dtype)).astype(self.dtype)
+
+
 def _axis_bound(axis_name: str) -> bool:
     """True when a mesh axis of this name is bound (inside shard_map/pmap)."""
     try:
@@ -88,9 +152,10 @@ def apply_norm(kind: str, features: int, name: str, x, train: bool,
         use_axis = kind == "sync_bn" and data_axis is not None and _axis_bound(
             data_axis
         )
-        return nn.BatchNorm(
+        return TorchBatchNorm(
+            features=x.shape[-1],
             momentum=0.9,
-            epsilon=1e-5,
+            eps=1e-5,
             dtype=dtype,
             axis_name=data_axis if use_axis else None,
             name=name,

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.deform_attn import deformable_attention_core
-from .layers import MLP, get_activation
+from ..ops.precision import to_loss_dtype
+from .layers import MLP, TorchBatchNorm, get_activation
 from .transformer import _Attention
 
 
@@ -207,9 +208,9 @@ class RTDETRTransformer(nn.Module):
             # levels still get it, matching _build_input_proj_layer.
             x = nn.Conv(self.hidden_dim, (1, 1), use_bias=False,
                         dtype=cfg_dtype, name=f"input_proj_{i}_conv")(feat)
-            x = nn.BatchNorm(
-                momentum=0.9, epsilon=1e-5, dtype=cfg_dtype,
-                name=f"input_proj_{i}_norm",
+            x = TorchBatchNorm(
+                features=self.hidden_dim, momentum=0.9, eps=1e-5,
+                dtype=cfg_dtype, name=f"input_proj_{i}_norm",
             )(x, use_running_average=not train)
             spatial_shapes.append((h, w))
             proj_feats.append(x.reshape(b, h * w, self.hidden_dim))
@@ -299,23 +300,23 @@ class RTDETRTransformer(nn.Module):
             )
 
         out = {
-            "pred_logits": dec_out_logits[-1].astype(jnp.float32),
-            "pred_points": dec_out_points[-1].astype(jnp.float32),
-            "pred_sigmas": dec_out_sigmas[-1].astype(jnp.float32),
+            "pred_logits": to_loss_dtype(dec_out_logits[-1]),
+            "pred_points": to_loss_dtype(dec_out_points[-1]),
+            "pred_sigmas": to_loss_dtype(dec_out_sigmas[-1]),
         }
         if self.aux_loss:
             aux = [
                 {
-                    "pred_logits": dec_out_logits[i].astype(jnp.float32),
-                    "pred_points": dec_out_points[i].astype(jnp.float32),
-                    "pred_sigmas": dec_out_sigmas[i].astype(jnp.float32),
+                    "pred_logits": to_loss_dtype(dec_out_logits[i]),
+                    "pred_points": to_loss_dtype(dec_out_points[i]),
+                    "pred_sigmas": to_loss_dtype(dec_out_sigmas[i]),
                 }
                 for i in range(self.num_decoder_layers - 1)
             ]
             aux.append(
                 {
-                    "pred_logits": enc_topk_logits.astype(jnp.float32),
-                    "pred_points": enc_topk_points.astype(jnp.float32),
+                    "pred_logits": to_loss_dtype(enc_topk_logits),
+                    "pred_points": to_loss_dtype(enc_topk_points),
                 }
             )
             out["aux_outputs"] = aux

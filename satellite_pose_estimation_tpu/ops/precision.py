@@ -23,3 +23,18 @@ def highest_precision(fn):
             return fn(*args, **kwargs)
 
     return wrapped
+
+
+def loss_dtype(x):
+    """Dtype for handing model outputs to the loss: bf16/f16 promote to f32
+    (stable softmax/log sums), f32 stays f32, f64 STAYS f64 — a hard
+    ``astype(float32)`` here would truncate the f64 torch-parity path to a
+    ~1e-8 noise floor (see tests/test_training_dynamics_parity.py)."""
+    import jax.numpy as jnp
+
+    return jnp.promote_types(x.dtype, jnp.float32)
+
+
+def to_loss_dtype(x):
+    """Cast ``x`` per :func:`loss_dtype`."""
+    return x.astype(loss_dtype(x))
