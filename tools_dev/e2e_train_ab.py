@@ -1,0 +1,378 @@
+"""End-to-end TRAINING A/B: the live torch reference recipe vs ours.
+
+VERDICT round-2 item 1(b): the 50-step lockstep test
+(tests/test_training_dynamics_parity.py) proves step-for-step dynamics
+parity in f64; this tool runs the composite capability claim at recipe
+scale — a real multi-epoch training run per arm, from ONE shared
+converted init, over IDENTICAL aug-off crop tensors in IDENTICAL batch
+orders, scored after every epoch through the SAME parity-tested eval
+tail (postprocess -> sigma-PnP -> speed_score). The comparison is the
+best val SPEED score per arm: does our framework LEARN the task as well
+as the reference's training loop does?
+
+Reference recipe mirrored on the torch arm exactly as shipped:
+R2/solver/speed_engine.py:58-111 (sum of weighted losses, zero_grad,
+backward, clip_grad_norm_, step) with the shipped criterion
+(R2/src/zoo/rtdetr/rtdetr_criterion.py losses=[labels, points_uncert])
+on the small selfcheck architecture (r18 / hidden 64 — the same modules
+the lockstep test builds). Augmentation is off in BOTH arms (identical
+inputs; the aug family itself is A/B'd separately, PERF.md), dropout 0,
+EMA off (EMA math is lockstep-proven) — so any score gap is the
+framework, not the noise sources.
+
+Run on CPU (the torch reference is CPU-only in this environment):
+
+    python tools_dev/e2e_train_ab.py --root /tmp/synth_r3 \
+        --n_train 400 --n_val 100 --epochs 20 --batch 16
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+HIDDEN = 64
+NHEAD = 4
+QUERIES = 30
+DEC_LAYERS = 3
+SIZE = 128
+C = 11
+LR = 3e-4
+WD = 1e-4
+BETAS = (0.9, 0.999)
+CLIP = 0.1
+
+
+def load_split(root, index_file, n, train):
+    from satellite_pose_estimation_tpu.data.dataset import SpeedTrainDataset
+
+    ds = SpeedTrainDataset(root, index_file=index_file, resize=SIZE,
+                           train=train)
+    n = min(n, len(ds))
+    samples = [ds[i] for i in range(n)]
+    return samples
+
+
+def precompute_train(samples):
+    """Aug-off production path: the full augment_batch with every
+    probability zeroed — returns ImageNet-normalized crops + the exact
+    normalized keypoints the train step would see."""
+    from satellite_pose_estimation_tpu.data.augment import (
+        AugmentConfig,
+        augment_batch,
+    )
+
+    cfg = AugmentConfig(out_size=SIZE, interp="cubic", p_hflip=0.0,
+                        p_rotate=0.0, p_affine=0.0, p_blur=0.0,
+                        p_blur_family=0.0, p_noise=0.0, p_jpeg=0.0,
+                        p_iso=0.0, p_cutout=0.0, p_trunc=0.0)
+    fn = jax.jit(lambda im, bb, lm: augment_batch(
+        jax.random.PRNGKey(0), im, bb, lm, cfg))
+    crops, kps = [], []
+    for i in range(0, len(samples), 32):
+        chunk = samples[i:i + 32]
+        im = jnp.asarray(np.stack([s["image"] for s in chunk]))
+        bb = jnp.asarray(np.stack([s["clip_bbox_buf"] for s in chunk]))
+        lm = jnp.asarray(np.stack([s["landmarks_buf"] for s in chunk]))
+        c, k = fn(im, bb, lm)
+        crops.append(np.asarray(c, np.float32))
+        kps.append(np.asarray(k, np.float32))
+    labels = np.stack([s["labels"] for s in samples])
+    return np.concatenate(crops), np.concatenate(kps), labels
+
+
+def precompute_val(samples):
+    from satellite_pose_estimation_tpu.ops.image_warp import crop_resize_cubic
+
+    fn = jax.jit(jax.vmap(
+        lambda im, bb: crop_resize_cubic(im, bb, SIZE, True)))
+    crops = []
+    for i in range(0, len(samples), 32):
+        chunk = samples[i:i + 32]
+        im = jnp.asarray(np.stack([s["image"] for s in chunk]))
+        bb = jnp.asarray(np.stack([s["clip_bbox_buf"] for s in chunk]))
+        crops.append(np.asarray(fn(im, bb), np.float32))
+    return {
+        "crops": np.concatenate(crops),
+        "clip": np.stack([s["clip_bbox"] for s in samples]),
+        "quat_gt": np.stack([s["quat_gt"] for s in samples]),
+        "tvec_gt": np.stack([s["tvec_gt"] for s in samples]),
+    }
+
+
+def make_scorer(val):
+    """Shared eval tail: raw (logits, points, log-sigmas) -> mean SPEED
+    score, exactly the make_eval_step math (train/steps.py:126-210)."""
+    from satellite_pose_estimation_tpu.geometry.scoring import (
+        speed_score_batch,
+    )
+    from satellite_pose_estimation_tpu.geometry.solvers import (
+        SolverConfig,
+        solve_pose_sigma_batch,
+    )
+    from satellite_pose_estimation_tpu.geometry.camera import WORLD_POINTS
+
+    world = jnp.asarray(WORLD_POINTS, jnp.float32)
+    clip = jnp.asarray(val["clip"])
+    wh = clip[:, 2:4] - clip[:, 0:2]
+    qgt = jnp.asarray(val["quat_gt"])
+    tgt = jnp.asarray(val["tvec_gt"])
+    cfg = SolverConfig()
+
+    @jax.jit
+    def score(logits, points, sigmas):
+        probs = jax.nn.softmax(logits, axis=-1)
+        pts_pix = points * wh[:, None, :] + clip[:, None, 0:2]
+        sig_pix = jnp.exp(sigmas) * (wh[:, None, :] ** 2)
+        quat, tvec, _ = solve_pose_sigma_batch(
+            world, pts_pix, probs, sig_pix, cfg)
+        sc = speed_score_batch(quat, tvec, qgt, tgt)
+        return jnp.mean(sc["score"])
+
+    return score
+
+
+# ---------------------------------------------------------------- torch arm
+
+def build_torch():
+    from tests._r2_reference import load_r2_modules
+    import torch
+
+    PResNet, HybridEncoder, RTDETRTransformer, TorchRTDETR = load_r2_modules()
+    torch.manual_seed(0)
+    backbone = PResNet(depth=18, return_idx=[1, 2, 3], pretrained=False,
+                       freeze_at=-1, freeze_norm=False)
+    encoder = HybridEncoder(in_channels=[128, 256, 512], hidden_dim=HIDDEN,
+                            dim_feedforward=128, nhead=NHEAD, expansion=0.5,
+                            dropout=0.0)
+    decoder = RTDETRTransformer(
+        num_classes=C, hidden_dim=HIDDEN, num_queries=QUERIES,
+        feat_channels=[HIDDEN] * 3, nhead=NHEAD,
+        num_decoder_layers=DEC_LAYERS, dim_feedforward=128, num_denoising=0,
+    )
+    return TorchRTDETR(backbone=backbone, encoder=encoder, decoder=decoder)
+
+
+def run_torch(sd, tr, val, orders, scorer, epochs, batch):
+    import torch
+
+    from tests._r2_reference import load_r2_modules
+
+    load_r2_modules()
+    from src.zoo.rtdetr.matcher import HungarianMatcher
+    from src.zoo.rtdetr.rtdetr_criterion import SetCriterion
+
+    model = build_torch()
+    model.load_state_dict({k: torch.from_numpy(v.copy()) for k, v in
+                           sd.items()})
+    matcher = HungarianMatcher(
+        {"cost_class": 2.0, "cost_bbox": 5.0, "cost_giou": 2.0})
+    criterion = SetCriterion(
+        matcher, weight_dict={"loss_ce": 1.0, "loss_bbox": 5.0},
+        losses=["labels", "points_uncert"], eos_coef=1e-4, num_classes=C)
+    opt = torch.optim.AdamW(model.parameters(), lr=LR, betas=BETAS,
+                            weight_decay=WD)
+
+    crops, kps, labels = tr
+    vx = torch.from_numpy(val["crops"].transpose(0, 3, 1, 2))
+    scores, losses = [], []
+    for ep in range(epochs):
+        model.train(); criterion.train()
+        ep_loss = []
+        for idxs in orders[ep]:
+            x = torch.from_numpy(crops[idxs].transpose(0, 3, 1, 2))
+            targets = [
+                {"labels": torch.from_numpy(labels[j].astype(np.int64)),
+                 "landmarks": torch.from_numpy(kps[j].astype(np.float32))}
+                for j in idxs
+            ]
+            outputs = model(x, targets)
+            loss_dict = criterion(outputs, targets)
+            loss_dict.pop("class_error", None)
+            loss = sum(loss_dict.values())
+            opt.zero_grad()
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(model.parameters(), CLIP)
+            opt.step()
+            ep_loss.append(float(loss.detach()))
+        model.eval()
+        with torch.no_grad():
+            outs = [model(vx[i:i + 32]) for i in range(0, len(vx), 32)]
+        logits = np.concatenate([o["pred_logits"].numpy() for o in outs])
+        points = np.concatenate([o["pred_pts"].numpy() for o in outs])
+        sigmas = np.concatenate([o["pred_sigmas"].numpy() for o in outs])
+        s = float(scorer(jnp.asarray(logits), jnp.asarray(points),
+                         jnp.asarray(sigmas)))
+        scores.append(s)
+        losses.append(float(np.mean(ep_loss)))
+        print(f"[torch] epoch {ep + 1}/{epochs} loss {losses[-1]:.4f} "
+              f"val score {s:.4f}", flush=True)
+    return scores, losses
+
+
+# ----------------------------------------------------------------- our arm
+
+def run_ours(sd, tr, val, orders, scorer, epochs, batch):
+    from satellite_pose_estimation_tpu.losses.criterion import CriterionConfig
+    from satellite_pose_estimation_tpu.models.rtdetr import (
+        RTDETR,
+        RTDETRConfig,
+    )
+    from satellite_pose_estimation_tpu.train import steps as steps_module
+    from satellite_pose_estimation_tpu.train.optim import build_optimizer
+    from satellite_pose_estimation_tpu.train.state import (
+        TrainConfig,
+        TrainState,
+        frozen_param_prefixes,
+    )
+    from satellite_pose_estimation_tpu.utils.checkpoint_convert import (
+        convert_r2_rtdetr,
+    )
+
+    params, stats = convert_r2_rtdetr(sd, nhead=NHEAD)
+    cfg = RTDETRConfig(depth=18, hidden_dim=HIDDEN, num_queries=QUERIES,
+                       num_decoder_layers=DEC_LAYERS, dim_feedforward=128,
+                       nhead=NHEAD, expansion=0.5, freeze_norm=False,
+                       num_classes=C, dtype=jnp.float32)
+    model = RTDETR(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, SIZE, SIZE, 3), jnp.float32),
+                           train=False)
+    frozen = frozen_param_prefixes(variables)
+    tx = build_optimizer(
+        {"type": "AdamW", "lr": LR, "betas": list(BETAS),
+         "weight_decay": WD},
+        params, steps_per_epoch=len(orders[0]),
+        sched_cfg={"type": "MultiStepLR", "milestones": [100000]},
+        clip_max_norm=CLIP, frozen_prefixes=frozen)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, batch_stats=stats,
+        opt_state=tx.init(params), ema_params=None, ema_batch_stats=None,
+        tx=tx, apply_fn=model.apply)
+
+    # identical inputs: the batch carries the precomputed crop + normalized
+    # keypoints; the augment hook passes them through untouched
+    orig = steps_module.augment_batch
+    steps_module.augment_batch = lambda rng, img, bb, lm, cfg: (img, lm)
+    try:
+        crit_cfg = CriterionConfig(
+            num_classes=C, eos_coef=1e-4, cost_class=2.0, cost_pts=5.0,
+            point_loss="uncert", weight_ce=1.0, weight_points=5.0)
+        train_step = steps_module.make_train_step(
+            crit_cfg, TrainConfig(use_ema=False))
+
+        crops, kps, labels = tr
+        zeros_bb = np.zeros((batch, 4), np.float32)
+
+        @jax.jit
+        def fwd_eval(st, x):
+            variables = {"params": st.params}
+            if st.batch_stats:
+                variables["batch_stats"] = st.batch_stats
+            out = st.apply_fn(variables, x, train=False)
+            return (out["pred_logits"], out["pred_points"],
+                    out["pred_sigmas"])
+
+        rng = jax.random.PRNGKey(42)
+        vx = jnp.asarray(val["crops"])
+        scores, losses = [], []
+        for ep in range(epochs):
+            ep_loss = []
+            for idxs in orders[ep]:
+                dev_batch = {
+                    "image": jnp.asarray(crops[idxs]),
+                    "clip_bbox_buf": jnp.asarray(zeros_bb[:len(idxs)]),
+                    "landmarks_buf": jnp.asarray(kps[idxs]),
+                    "labels": jnp.asarray(labels[idxs]),
+                }
+                rng, k = jax.random.split(rng)
+                state, loss_dict = train_step(state, dev_batch, k)
+                ep_loss.append(float(loss_dict["loss_total"]))
+            outs = [fwd_eval(state, vx[i:i + 32])
+                    for i in range(0, len(vx), 32)]
+            logits = jnp.concatenate([o[0] for o in outs])
+            points = jnp.concatenate([o[1] for o in outs])
+            sigmas = jnp.concatenate([o[2] for o in outs])
+            s = float(scorer(logits, points, sigmas))
+            scores.append(s)
+            losses.append(float(np.mean(ep_loss)))
+            print(f"[ours ] epoch {ep + 1}/{epochs} loss {losses[-1]:.4f} "
+                  f"val score {s:.4f}", flush=True)
+    finally:
+        steps_module.augment_batch = orig
+    return scores, losses
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/synth_r3")
+    ap.add_argument("--n_train", type=int, default=400)
+    ap.add_argument("--n_val", type=int, default=100)
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--arm", choices=("both", "torch", "ours"),
+                    default="both")
+    ap.add_argument("--out", default="/tmp/e2e_ab.json")
+    args = ap.parse_args()
+
+    t0 = time.time()
+    tr_samples = load_split(args.root, "train_s.txt", args.n_train, True)
+    val_samples = load_split(args.root, "val_s.txt", args.n_val, False)
+    tr = precompute_train(tr_samples)
+    val = precompute_val(val_samples)
+    scorer = make_scorer(val)
+    print(f"preprocessed {len(tr_samples)} train / {len(val_samples)} val "
+          f"in {time.time() - t0:.0f}s", flush=True)
+
+    # shared init from torch's sampling
+    torch_model = build_torch()
+    sd = {k: v.detach().numpy().copy()
+          for k, v in torch_model.state_dict().items()}
+    del torch_model
+
+    # shared batch orders: one numpy stream, drop-last like the reference
+    order_rng = np.random.RandomState(123)
+    n = len(tr_samples)
+    orders = []
+    for _ in range(args.epochs):
+        perm = order_rng.permutation(n)
+        steps = [perm[i:i + args.batch]
+                 for i in range(0, n - args.batch + 1, args.batch)]
+        orders.append(steps)
+
+    result = {"epochs": args.epochs, "batch": args.batch,
+              "n_train": len(tr_samples), "n_val": len(val_samples)}
+    if args.arm in ("both", "ours"):
+        t = time.time()
+        f_scores, f_losses = run_ours(sd, tr, val, orders, scorer,
+                                      args.epochs, args.batch)
+        result["ours"] = {"scores": f_scores, "losses": f_losses,
+                          "best": min(f_scores),
+                          "wall_s": round(time.time() - t, 1)}
+    if args.arm in ("both", "torch"):
+        t = time.time()
+        t_scores, t_losses = run_torch(sd, tr, val, orders, scorer,
+                                       args.epochs, args.batch)
+        result["torch"] = {"scores": t_scores, "losses": t_losses,
+                           "best": min(t_scores),
+                           "wall_s": round(time.time() - t, 1)}
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    if "ours" in result and "torch" in result:
+        print(f"BEST val SPEED score — ours {result['ours']['best']:.4f} "
+              f"vs torch reference {result['torch']['best']:.4f} "
+              f"(untrained anchor 4.1416)")
+    print(f"written {args.out}")
+
+
+if __name__ == "__main__":
+    main()
