@@ -128,6 +128,9 @@ def main():
         step = make_train_step(
             CriterionConfig(), TrainConfig(),
             AugmentConfig(out_size=input_size),
+            # BENCH_PALLAS_AUG=1 routes the photometric chain through the
+            # fused Pallas kernel (ops/pallas_augment.py, TPU only)
+            use_pallas_augment=os.environ.get("BENCH_PALLAS_AUG", "0") == "1",
         )
         state, losses = step(state, train_batch, jrandom.PRNGKey(0))
         jax.block_until_ready(losses)
