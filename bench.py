@@ -125,8 +125,16 @@ def main():
                 jnp.arange(11, dtype=jnp.int32)[None], (batch_size, 1)
             ),
         }
+        # R2 arch trains with its shipped recipe's criterion shape
+        # (focal labels + Laplace-KL point loss, eos 1e-4 — mirrors
+        # R2/configs/rtdetr_speed/include/rtdetr_r50vd.yml losses).
+        crit = (
+            CriterionConfig(point_loss="uncert", use_focal=True,
+                            eos_coef=1e-4)
+            if arch == "rtdetr" else CriterionConfig()
+        )
         step = make_train_step(
-            CriterionConfig(), TrainConfig(),
+            crit, TrainConfig(),
             AugmentConfig(out_size=input_size),
             # BENCH_PALLAS_AUG=1 routes the photometric chain through the
             # fused Pallas kernel (ops/pallas_augment.py, TPU only)
@@ -141,7 +149,9 @@ def main():
         jax.block_until_ready(losses)
         dt = time.perf_counter() - t0
         imgs_per_sec = batch_size * iters / dt
-        metric = "end-to-end train images/sec/chip (aug->model->match->loss->opt)"
+        metric = ("end-to-end train images/sec/chip "
+                  "(aug->model->match->loss->opt"
+                  + (", RT-DETR r50vd" if arch == "rtdetr" else "") + ")")
         baseline = 125.0
     else:
         solver_kind = "sigma" if arch == "rtdetr" else "simple"
