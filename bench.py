@@ -126,8 +126,9 @@ def main():
             ),
         }
         # R2 arch trains with its shipped recipe's criterion shape
-        # (focal labels + Laplace-KL point loss, eos 1e-4 — mirrors
-        # R2/configs/rtdetr_speed/include/rtdetr_r50vd.yml losses).
+        # (sigmoid matcher cost via the shared use_focal_loss global, CE
+        # labels + Laplace-KL point loss, eos 1e-4 — mirrors
+        # R2/configs/rtdetr_speed/include/rtdetr_r50vd.yml).
         crit = (
             CriterionConfig(point_loss="uncert", use_focal=True,
                             eos_coef=1e-4)
@@ -203,6 +204,10 @@ def main():
                     model = DETRKeypointModel(
                         dataclasses.replace(cfg, quantize_int8=False)
                     )
+                    # eval_step runs state.apply_fn — rebind it to the
+                    # float model or the "bf16" fallback would silently
+                    # measure the dynamic-int8 program.
+                    state = state.replace(apply_fn=model.apply)
         def time_eval(step_fn, st):
             res = step_fn(st, batch)
             jax.block_until_ready(res)

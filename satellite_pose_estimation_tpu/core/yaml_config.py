@@ -166,6 +166,15 @@ class YAMLConfig:
         weight_dict = s.get("weight_dict", {}) or {}
         matcher = s.get("matcher", {}) or {}
         m_weights = matcher.get("weight_dict", {}) or {}
+        # The matcher's use_focal_loss is a __share__ global in R2
+        # (R2/src/zoo/rtdetr/matcher.py:28-30); every shipped speed recipe
+        # sets the top-level `use_focal_loss: True`
+        # (R2/configs/rtdetr_speed/include/rtdetr_r50vd.yml:60). A
+        # matcher-local key overrides the global, like registry injection.
+        use_focal = bool(
+            matcher.get("use_focal_loss",
+                        self.yaml_cfg.get("use_focal_loss", False))
+        )
         return CriterionConfig(
             num_classes=self.num_classes,
             eos_coef=float(s.get("eos_coef",
@@ -174,6 +183,7 @@ class YAMLConfig:
             cost_pts=float(m_weights.get("cost_bbox",
                                          m_weights.get("cost_pts", 5.0))),
             point_loss=point_loss,
+            use_focal=use_focal,
             weight_ce=float(weight_dict.get("loss_ce", 1.0)),
             weight_points=float(weight_dict.get("loss_bbox",
                                                 weight_dict.get("loss_points", 5.0))),

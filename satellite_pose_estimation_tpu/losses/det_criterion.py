@@ -30,8 +30,16 @@ class DetCriterionConfig:
     weight_vfl: float = 1.0
     weight_bbox: float = 5.0
     weight_giou: float = 2.0
-    focal_alpha: float = 0.75
+    focal_alpha: float = 0.75  # varifocal loss weight (criterion alpha)
     focal_gamma: float = 2.0
+    # Matching cost uses upstream RT-DETR's focal-cost alpha/gamma (matcher
+    # alpha 0.25, R2 configs/rtdetr/include/rtdetr_r50vd.yml matcher block),
+    # distinct from the vfl alpha above. (The fork's own modified matcher
+    # cannot run the det task at all — it reads the landmarker's
+    # 'landmarks' target key — so the det path reconstructs the upstream
+    # semantics its configs name.)
+    matcher_alpha: float = 0.25
+    matcher_gamma: float = 2.0
     aux_loss: bool = True
 
 
@@ -39,10 +47,10 @@ def _match(logits, boxes, tgt_labels, tgt_boxes, tgt_mask, cfg):
     prob = jax.nn.sigmoid(logits)
     safe_labels = jnp.maximum(tgt_labels, 0)
     taken = jnp.take_along_axis(prob, safe_labels[:, None, :], axis=-1)
-    neg = (1 - cfg.focal_alpha) * (taken ** cfg.focal_gamma) * (
+    neg = (1 - cfg.matcher_alpha) * (taken ** cfg.matcher_gamma) * (
         -jnp.log(jnp.clip(1 - taken, 1e-8))
     )
-    pos = cfg.focal_alpha * ((1 - taken) ** cfg.focal_gamma) * (
+    pos = cfg.matcher_alpha * ((1 - taken) ** cfg.matcher_gamma) * (
         -jnp.log(jnp.clip(taken, 1e-8))
     )
     c_class = pos - neg  # (B, Q, T)

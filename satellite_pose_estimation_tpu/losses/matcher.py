@@ -15,8 +15,7 @@ from ..ops.precision import to_loss_dtype
 
 
 def hungarian_match(pred_logits, pred_points, tgt_labels, tgt_points,
-                    cost_class=1.0, cost_pts=5.0, use_focal=False,
-                    focal_alpha=0.25, focal_gamma=2.0):
+                    cost_class=1.0, cost_pts=5.0, use_focal=False):
     """Batched optimal matching.
 
     Args:
@@ -24,26 +23,24 @@ def hungarian_match(pred_logits, pred_points, tgt_labels, tgt_points,
         pred_points: (B, Q, 2) normalized points.
         tgt_labels:  (B, T) int target class ids.
         tgt_points:  (B, T, 2) normalized target landmarks.
-        use_focal: R2 matcher option — focal-style class cost on sigmoid
-            probabilities (R2/src/zoo/rtdetr/matcher.py:79-87).
+        use_focal: the R2 matcher's ``use_focal_loss`` option, ON in every
+            shipped speed recipe via the shared global
+            (``use_focal_loss: True`` in
+            R2/configs/rtdetr_speed/include/rtdetr_r50vd.yml:60 +
+            ``__share__`` in R2/src/zoo/rtdetr/matcher.py:28-30). NOTE:
+            unlike upstream lyuwenyu RT-DETR, this fork's matcher does NOT
+            apply the alpha/gamma focal weighting to the cost — it only
+            switches the probability from softmax to sigmoid and keeps
+            cost = -prob[target] (R2/src/zoo/rtdetr/matcher.py:77-99; the
+            stored alpha/gamma are never read in forward).
     Returns:
         query_for_target: (B, T) int32 — matched query per target.
     """
     if use_focal:
         prob = jax.nn.sigmoid(pred_logits)
-        taken = jnp.take_along_axis(
-            prob[:, :, :], tgt_labels[:, None, :], axis=-1
-        )  # (B, Q, T)
-        neg_cost = (1 - focal_alpha) * (taken ** focal_gamma) * (
-            -jnp.log(jnp.clip(1 - taken, 1e-8))
-        )
-        pos_cost = focal_alpha * ((1 - taken) ** focal_gamma) * (
-            -jnp.log(jnp.clip(taken, 1e-8))
-        )
-        cclass = pos_cost - neg_cost
     else:
         prob = jax.nn.softmax(pred_logits, axis=-1)
-        cclass = -jnp.take_along_axis(prob, tgt_labels[:, None, :], axis=-1)
+    cclass = -jnp.take_along_axis(prob, tgt_labels[:, None, :], axis=-1)
 
     cpts = jnp.sum(
         jnp.abs(pred_points[:, :, None, :] - tgt_points[:, None, :, :]), axis=-1

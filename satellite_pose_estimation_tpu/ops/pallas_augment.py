@@ -34,12 +34,16 @@ def _photometric_kernel(scalars_ref, holes_ref, img_ref, out_ref,
                         noise_ref=None):
     """Grid cell = one (image, channel) plane.
 
-    scalars_ref (SMEM, (B, 8)): [do_blur, sigma, do_noise, do_cut,
-                                 do_trunc, trunc_sel, th, tw] per image.
-    holes_ref (SMEM, (B, H4, 4)): cutout holes (x, y, w, h) per image.
+    scalars_ref (SMEM, (1, 8)): [do_blur, sigma, do_noise, do_cut,
+        do_trunc, trunc_sel, th, tw] — THIS image's row, delivered by the
+        BlockSpec index map. Blocking matters: an unblocked (B, 8)/(B, 10, 4)
+        SMEM operand is padded per-element by the Mosaic window allocator
+        and overflows the 1 MB SMEM at batch 128 ("Ran out of memory in
+        memory space smem", measured on v5e).
+    holes_ref (SMEM, (1, H4, 4)): THIS image's cutout holes (x, y, w, h).
     img_ref/out_ref (VMEM, (S, S)): one channel plane in [0, 255].
     """
-    b = pl.program_id(0)
+    b = 0  # per-image rows are pre-sliced by the SMEM BlockSpecs
     c = pl.program_id(1)
     S = img_ref.shape[2]
 
@@ -148,9 +152,18 @@ def fused_photometric_pallas(images, scalars, holes, seed, interpret=False,
         (B, S, S, 3) float32 ImageNet-normalized.
     """
     B, S, _, C = images.shape
+    NH = holes.shape[1]
     planes = images.transpose(0, 3, 1, 2)  # (B, 3, S, S)
     img_spec = pl.BlockSpec(
         (1, 1, S, S), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM
+    )
+    # Per-image SMEM blocks (see kernel doc: unblocked SMEM operands pad
+    # out and overflow the 1 MB SMEM at train batch sizes).
+    scal_spec = pl.BlockSpec(
+        (1, 8), lambda b, c: (b, 0), memory_space=pltpu.SMEM
+    )
+    holes_spec = pl.BlockSpec(
+        (1, NH, 4), lambda b, c: (b, 0, 0), memory_space=pltpu.SMEM
     )
 
     if noise is not None:
@@ -164,8 +177,8 @@ def fused_photometric_pallas(images, scalars, holes, seed, interpret=False,
             out_shape=jax.ShapeDtypeStruct((B, C, S, S), jnp.float32),
             grid=(B, C),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+                scal_spec,
+                holes_spec,
                 img_spec,
                 img_spec,
             ],
@@ -179,9 +192,9 @@ def fused_photometric_pallas(images, scalars, holes, seed, interpret=False,
             out_shape=jax.ShapeDtypeStruct((B, C, S, S), jnp.float32),
             grid=(B, C),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # holes
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (scalar)
+                scal_spec,
+                holes_spec,
                 img_spec,
             ],
             out_specs=img_spec,

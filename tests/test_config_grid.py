@@ -65,7 +65,13 @@ def test_speed_config_loads_and_matches_filename(name):
         assert model.config.backbone == "resnet50s8"
         assert crit.point_loss == "smooth_l1"
         assert crit.eos_coef == pytest.approx(0.1)
+        assert not crit.use_focal  # R1 matcher: softmax class cost
         return
+
+    # Every R2 speed recipe shares use_focal_loss: True into the matcher
+    # (sigmoid class cost, R2/configs/rtdetr_speed/include/*.yml:60 +
+    # matcher __share__).
+    assert crit.use_focal
 
     m = re.match(
         r"rtdetr_(r50vd|r18vd|mobilenetv3)_(kl_)?([1-6])(_512)?\.yml", name

@@ -44,7 +44,7 @@ def _random_io(seed):
     return outputs, labels, landmarks
 
 
-def _torch_total(outputs, labels, landmarks):
+def _torch_total(outputs, labels, landmarks, use_focal=False):
     import torch
 
     load_r2_modules()
@@ -52,7 +52,8 @@ def _torch_total(outputs, labels, landmarks):
     from src.zoo.rtdetr.rtdetr_criterion import SetCriterion
 
     matcher = HungarianMatcher(
-        {"cost_class": 2.0, "cost_bbox": 5.0, "cost_giou": 2.0}
+        {"cost_class": 2.0, "cost_bbox": 5.0, "cost_giou": 2.0},
+        use_focal_loss=use_focal,
     )
     criterion = SetCriterion(
         matcher,
@@ -86,18 +87,24 @@ def _torch_total(outputs, labels, landmarks):
 
 
 @pytest.mark.parametrize("seed", [0, 5])
-def test_total_loss_matches_reference(seed):
+@pytest.mark.parametrize("use_focal", [False, True])
+def test_total_loss_matches_reference(seed, use_focal):
+    """use_focal=True is the shipped-recipe configuration: every speed
+    include sets the use_focal_loss global, shared into the matcher, which
+    then scores the class cost on sigmoid probabilities (no alpha/gamma
+    weighting in this fork — R2/src/zoo/rtdetr/matcher.py:77-99)."""
     from satellite_pose_estimation_tpu.losses.criterion import (
         CriterionConfig,
         set_criterion,
     )
 
     outputs, labels, landmarks = _random_io(seed)
-    want = _torch_total(outputs, labels, landmarks)
+    want = _torch_total(outputs, labels, landmarks, use_focal=use_focal)
 
     cfg = CriterionConfig(
         num_classes=C, eos_coef=1e-4, cost_class=2.0, cost_pts=5.0,
         point_loss="uncert", weight_ce=1.0, weight_points=5.0,
+        use_focal=use_focal,
     )
     f_out = {
         k: (jnp.asarray(v) if not isinstance(v, list) else

@@ -147,8 +147,14 @@ def _run_torch(model, batches):
     from src.zoo.rtdetr.matcher import HungarianMatcher
     from src.zoo.rtdetr.rtdetr_criterion import SetCriterion
 
+    # use_focal_loss=True: the shipped-recipe matcher configuration (every
+    # speed include shares the global into the matcher -> sigmoid class
+    # cost, R2/configs/rtdetr_speed/include/rtdetr_r50vd.yml:60). The CE
+    # (softmax) matcher flavor is covered per-step in
+    # test_criterion_torch_parity.py.
     matcher = HungarianMatcher(
-        {"cost_class": 2.0, "cost_bbox": 5.0, "cost_giou": 2.0})
+        {"cost_class": 2.0, "cost_bbox": 5.0, "cost_giou": 2.0},
+        use_focal_loss=True)
     criterion = SetCriterion(
         matcher, weight_dict={"loss_ce": 1.0, "loss_bbox": 5.0},
         losses=["labels", "points_uncert"], eos_coef=1e-4, num_classes=C,
@@ -243,7 +249,8 @@ def _run_ours(init_state_dict, batches, monkeypatch):
                         lambda rng, img, bb, lm, cfg: (img, lm))
     crit_cfg = CriterionConfig(num_classes=C, eos_coef=1e-4, cost_class=2.0,
                                cost_pts=5.0, point_loss="uncert",
-                               weight_ce=1.0, weight_points=5.0)
+                               weight_ce=1.0, weight_points=5.0,
+                               use_focal=True)
     train_cfg = TrainConfig(use_ema=True, ema_decay=EMA_DECAY,
                             ema_warmups=EMA_WARMUPS)
     train_step = steps_module.make_train_step(crit_cfg, train_cfg)

@@ -174,8 +174,12 @@ def run_torch(sd, tr, val, orders, scorer, epochs, batch):
     model = build_torch()
     model.load_state_dict({k: torch.from_numpy(v.copy()) for k, v in
                            sd.items()})
+    # Shipped-recipe matcher: use_focal_loss shared global -> sigmoid class
+    # cost (the archived r3 A/B ran BOTH arms with the CE-cost matcher —
+    # internally consistent; runs from here on use the shipped flavor).
     matcher = HungarianMatcher(
-        {"cost_class": 2.0, "cost_bbox": 5.0, "cost_giou": 2.0})
+        {"cost_class": 2.0, "cost_bbox": 5.0, "cost_giou": 2.0},
+        use_focal_loss=True)
     criterion = SetCriterion(
         matcher, weight_dict={"loss_ce": 1.0, "loss_bbox": 5.0},
         losses=["labels", "points_uncert"], eos_coef=1e-4, num_classes=C)
@@ -266,7 +270,8 @@ def run_ours(sd, tr, val, orders, scorer, epochs, batch):
     try:
         crit_cfg = CriterionConfig(
             num_classes=C, eos_coef=1e-4, cost_class=2.0, cost_pts=5.0,
-            point_loss="uncert", weight_ce=1.0, weight_points=5.0)
+            point_loss="uncert", weight_ce=1.0, weight_points=5.0,
+            use_focal=True)
         train_step = steps_module.make_train_step(
             crit_cfg, TrainConfig(use_ema=False))
 

@@ -62,25 +62,28 @@ def main():
     def pool_of(shape, n=4, dtype=jnp.bfloat16):
         return [jnp.asarray(rng.randn(*shape), dtype) for _ in range(n)]
 
-    # --- full eval step (crop -> model -> sigma-PnP), bf16 path
-    if want("eval"):
+    # --- full eval step (crop -> model -> sigma-PnP), bf16 path.
+    # The model/int8 stages reuse this block's state, so wanting either
+    # implies the setup (RB_STAGES=int8 alone still works).
+    if want("eval") or want("model") or want("int8"):
         model = RTDETR(RTDETRConfig(depth=50, expansion=0.5, dtype=dt))
         state = create_train_state(
             model, key, jnp.zeros((2, INPUT, INPUT, 3), jnp.float32),
             TrainConfig())
-        step = make_eval_step(out_size=INPUT, solver="sigma")
-        epool = []
-        for _ in range(4):
-            epool.append({
-                "image": jnp.asarray(
-                    rng.randint(0, 255, (B, 256, 256, 3)), jnp.uint8),
-                "clip_bbox_buf": jnp.tile(
-                    jnp.float32([8, 8, 248, 248]), (B, 1)),
-                "clip_bbox": jnp.tile(
-                    jnp.float32([700, 400, 1100, 800]), (B, 1)),
-            })
-        timeit("full eval step (bf16)", lambda b: step(state, b)["quat_pr"],
-               epool)
+        if want("eval"):
+            step = make_eval_step(out_size=INPUT, solver="sigma")
+            epool = []
+            for _ in range(4):
+                epool.append({
+                    "image": jnp.asarray(
+                        rng.randint(0, 255, (B, 256, 256, 3)), jnp.uint8),
+                    "clip_bbox_buf": jnp.tile(
+                        jnp.float32([8, 8, 248, 248]), (B, 1)),
+                    "clip_bbox": jnp.tile(
+                        jnp.float32([700, 400, 1100, 800]), (B, 1)),
+                })
+            timeit("full eval step (bf16)",
+                   lambda b: step(state, b)["quat_pr"], epool)
 
         # model forward only (same params, pre-cropped input)
         fpool = pool_of((B, INPUT, INPUT, 3), dtype=jnp.float32)
@@ -90,6 +93,22 @@ def main():
         fwd = jax.jit(lambda x: model.apply(variables, x, train=False))
         if want("model"):
             timeit("model fwd (bf16, pre-cropped)", fwd, fpool)
+
+        # int8 static-PTQ forward, same methodology as bench.py
+        if want("int8"):
+            from satellite_pose_estimation_tpu.ops.quantize import (
+                quantized_inference)
+            from satellite_pose_estimation_tpu.utils.calibrate import (
+                calibrate_act_scales)
+
+            with quantized_inference():
+                quant = calibrate_act_scales(
+                    model, variables, fpool[:2], train=False)
+                vq = dict(variables)
+                vq["quant"] = quant
+                fwd_q = jax.jit(
+                    lambda x: model.apply(vq, x, train=False))
+                timeit("model fwd (int8 static-PTQ)", fwd_q, fpool)
 
     # --- backbone alone
     if want("backbone"):
