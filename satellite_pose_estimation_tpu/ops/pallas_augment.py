@@ -34,15 +34,20 @@ def _photometric_kernel(scalars_ref, holes_ref, img_ref, out_ref,
                         noise_ref=None):
     """Grid cell = one (image, channel) plane.
 
-    scalars_ref (SMEM, (1, 8)): [do_blur, sigma, do_noise, do_cut,
+    scalars_ref (SMEM, (1, 1, 8)): [do_blur, sigma, do_noise, do_cut,
         do_trunc, trunc_sel, th, tw] — THIS image's row, delivered by the
         BlockSpec index map. Blocking matters: an unblocked (B, 8)/(B, 10, 4)
         SMEM operand is padded per-element by the Mosaic window allocator
         and overflows the 1 MB SMEM at batch 128 ("Ran out of memory in
-        memory space smem", measured on v5e).
+        memory space smem", measured on v5e). The extra unit dim satisfies
+        Mosaic's block-shape rule (last two block dims must equal the
+        array's or divide (8, 128) — (1, 8) over (B, 8) is rejected).
     holes_ref (SMEM, (1, H4, 4)): THIS image's cutout holes (x, y, w, h).
     img_ref/out_ref (VMEM, (S, S)): one channel plane in [0, 255].
     """
+    def sc(j):  # per-image scalar j (pre-sliced row)
+        return scalars_ref[0, 0, j]
+
     b = 0  # per-image rows are pre-sliced by the SMEM BlockSpecs
     c = pl.program_id(1)
     S = img_ref.shape[2]
@@ -51,7 +56,7 @@ def _photometric_kernel(scalars_ref, holes_ref, img_ref, out_ref,
 
     # --- 3x3 box blur via shifted adds (edge rows/cols replicate the
     # nearest interior average like a SAME conv with zero pad + renorm).
-    do_blur = (scalars_ref[b, 0] > 0.5).astype(jnp.float32)
+    do_blur = (sc(0) > 0.5).astype(jnp.float32)
     S_minus = S - 1
     up = pltpu.roll(x, 1, 0)
     down = pltpu.roll(x, S_minus, 0)  # roll requires non-negative shifts
@@ -72,8 +77,8 @@ def _photometric_kernel(scalars_ref, holes_ref, img_ref, out_ref,
 
     # --- additive gaussian noise: on-chip PRNG (Box-Muller) on TPU, or a
     # precomputed noise plane when the host provides one (CPU interpret).
-    do_noise = (scalars_ref[b, 2] > 0.5).astype(jnp.float32)
-    sigma = scalars_ref[b, 1]
+    do_noise = (sc(2) > 0.5).astype(jnp.float32)
+    sigma = sc(1)
     if noise_ref is None:
         u_bits = pltpu.prng_random_bits((S, S))
         v_bits = pltpu.prng_random_bits((S, S))
@@ -91,7 +96,7 @@ def _photometric_kernel(scalars_ref, holes_ref, img_ref, out_ref,
     x = x + do_noise * gauss * sigma
 
     # --- cutout holes
-    do_cut = (scalars_ref[b, 3] > 0.5).astype(jnp.float32)
+    do_cut = (sc(3) > 0.5).astype(jnp.float32)
     hole_mask = jnp.zeros((S, S), jnp.bool_)
     for hi in range(holes_ref.shape[1]):
         hx = holes_ref[b, hi, 0]
@@ -106,10 +111,10 @@ def _photometric_kernel(scalars_ref, holes_ref, img_ref, out_ref,
 
     # --- edge truncation (img_trunc): top/left (sel<0.25) or bottom/right
     # (sel>0.75) bands zeroed.
-    do_trunc = (scalars_ref[b, 4] > 0.5).astype(jnp.float32)
-    sel = scalars_ref[b, 5]
-    th = scalars_ref[b, 6].astype(jnp.int32)
-    tw = scalars_ref[b, 7].astype(jnp.int32)
+    do_trunc = (sc(4) > 0.5).astype(jnp.float32)
+    sel = sc(5)
+    th = sc(6).astype(jnp.int32)
+    tw = sc(7).astype(jnp.int32)
     top = ((rows < th) | (cols < tw)).astype(jnp.float32)
     bottom = ((rows >= S - th) | (cols >= S - tw)).astype(jnp.float32)
     is_top = (sel < 0.25).astype(jnp.float32)
@@ -158,9 +163,12 @@ def fused_photometric_pallas(images, scalars, holes, seed, interpret=False,
         (1, 1, S, S), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM
     )
     # Per-image SMEM blocks (see kernel doc: unblocked SMEM operands pad
-    # out and overflow the 1 MB SMEM at train batch sizes).
+    # out and overflow the 1 MB SMEM at train batch sizes). scalars gain a
+    # unit middle dim so the block's last two dims equal the array's
+    # (Mosaic's block-shape rule).
+    scalars3 = scalars.astype(jnp.float32).reshape(B, 1, 8)
     scal_spec = pl.BlockSpec(
-        (1, 8), lambda b, c: (b, 0), memory_space=pltpu.SMEM
+        (1, 1, 8), lambda b, c: (b, 0, 0), memory_space=pltpu.SMEM
     )
     holes_spec = pl.BlockSpec(
         (1, NH, 4), lambda b, c: (b, 0, 0), memory_space=pltpu.SMEM
@@ -184,7 +192,7 @@ def fused_photometric_pallas(images, scalars, holes, seed, interpret=False,
             ],
             out_specs=img_spec,
             interpret=interpret,
-        )(scalars.astype(jnp.float32), holes.astype(jnp.int32), planes,
+        )(scalars3, holes.astype(jnp.int32), planes,
           noise_planes)
     else:
         out = pl.pallas_call(
@@ -201,7 +209,7 @@ def fused_photometric_pallas(images, scalars, holes, seed, interpret=False,
             interpret=interpret,
         )(
             jnp.asarray([seed], jnp.int32),
-            scalars.astype(jnp.float32),
+            scalars3,
             holes.astype(jnp.int32),
             planes,
         )
