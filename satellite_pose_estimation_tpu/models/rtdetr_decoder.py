@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.deform_attn import deformable_attention_core
+from ..ops.deform_attn import deformable_attention_core_matmul
 from ..ops.precision import to_loss_dtype
 from .layers import MLP, TorchBatchNorm, get_activation
 from .transformer import _Attention
@@ -111,7 +111,12 @@ class MSDeformableAttention(nn.Module):
                 + offsets / self.num_points * ref[..., 2:] * 0.5
             )
 
-        out = deformable_attention_core(
+        # Gather-free separable-bilinear core: the take_along_axis form
+        # made the decoder 82% of the model forward on v5e (PERF.md
+        # round-3 RT-DETR breakdown); the matmul form is exact-equivalent
+        # (tests/test_rtdetr.py runs both against the live grid_sample
+        # oracle).
+        out = deformable_attention_core_matmul(
             v.astype(self.dtype), list(spatial_shapes), locations, attw
         )
         return nn.Dense(self.embed_dim, dtype=self.dtype, name="output_proj")(out)

@@ -92,3 +92,74 @@ def deformable_attention_core(
     attw = attention_weights.transpose(0, 2, 1, 3, 4)  # (B, H, Q, L, P)
     out = jnp.einsum("bhqlpc,bhqlp->bqhc", stacked, attw)
     return out.reshape(B, Q, H * C)
+
+
+def deformable_attention_core_matmul(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Gather-free deformable sampling core — the TPU-fast default.
+
+    Mathematically identical to :func:`deformable_attention_core` (and to
+    F.grid_sample bilinear / zeros / align_corners=False,
+    R2/src/zoo/rtdetr/utils.py:15-64): bilinear interpolation with zeros
+    padding is SEPARABLE,
+
+        sample(x, y) = sum_r relu(1 - |r - y|) * sum_c relu(1 - |c - x|)
+                       * V[r, c]
+
+    — each axis weight is nonzero on at most the two neighboring taps with
+    exactly the lerp weights, rows/cols outside the map contribute nothing
+    (zeros padding), and a location fully out of range gets all-zero
+    weights. So the per-level sampling becomes one outer product over the
+    (h_l, w_l) axis weights and one einsum against the value plane: pure
+    MXU matmul work instead of take_along_axis gathers.
+
+    Measured on v5e (B=256 @256): the gather core makes the RT-DETR
+    decoder 82% of the model forward (183.6 of 223.4 ms, PERF.md round-3
+    breakdown); this form removes every gather from the decoder hot path.
+    """
+    B, _, H, C = value.shape
+    _, Q, _, n_levels, n_points, _ = sampling_locations.shape
+
+    level_start = []
+    s = 0
+    for (h, w) in spatial_shapes:
+        level_start.append(s)
+        s += h * w
+
+    dt = value.dtype
+    outputs = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = jax.lax.dynamic_slice_in_dim(value, level_start[lvl], h * w, axis=1)
+        v = v.transpose(0, 2, 1, 3)  # (B, H, hw, C)
+
+        loc = sampling_locations[:, :, :, lvl]  # (B, Q, H, P, 2)
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+
+        cols = jnp.arange(w, dtype=x.dtype)
+        rows = jnp.arange(h, dtype=y.dtype)
+        # (B, Q, H, P, w) / (B, Q, H, P, h) separable lerp weights
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(cols - x[..., None]))
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(rows - y[..., None]))
+        # flat one-hot-ish sampling matrix (B, Q, H, P, h*w); small —
+        # h*w <= 4096 even at 512 input, Q*P ~ 120
+        w2d = (wy[..., :, None] * wx[..., None, :]).reshape(
+            B, Q, H, n_points, h * w
+        )
+        # f32 MXU accumulation for low-precision dtypes; full precision for
+        # the f64 parity tests.
+        acc = None if dt == jnp.float64 else jnp.float32
+        sampled = jnp.einsum(
+            "bqhpn,bhnc->bhqpc", w2d.astype(dt), v,
+            preferred_element_type=acc,
+        ).astype(dt)  # (B, H, Q, P, C)
+        outputs.append(sampled)
+
+    stacked = jnp.stack(outputs, axis=3)  # (B, H, Q, L, P, C)
+    attw = attention_weights.transpose(0, 2, 1, 3, 4)  # (B, H, Q, L, P)
+    out = jnp.einsum("bhqlpc,bhqlp->bqhc", stacked, attw.astype(dt))
+    return out.reshape(B, Q, H * C)

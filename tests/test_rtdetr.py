@@ -7,10 +7,17 @@ import pytest
 
 from satellite_pose_estimation_tpu.ops.deform_attn import (
     deformable_attention_core,
+    deformable_attention_core_matmul,
 )
 
 
-def test_deform_attn_matches_torch_grid_sample(rng):
+@pytest.mark.parametrize("loc_range", ["inside", "overhang"],
+                         ids=["in01", "outside"])
+@pytest.mark.parametrize(
+    "core", [deformable_attention_core, deformable_attention_core_matmul],
+    ids=["gather", "matmul"],
+)
+def test_deform_attn_matches_torch_grid_sample(rng, core, loc_range):
     import torch
     import torch.nn.functional as F
 
@@ -22,6 +29,10 @@ def test_deform_attn_matches_torch_grid_sample(rng):
 
     value = rng.randn(B, L, H, C).astype(np.float32)
     loc = rng.rand(B, Q, H, n_levels, P, 2).astype(np.float32)
+    if loc_range == "overhang":
+        # decoder offsets push sampling points past the map edges; zeros
+        # padding must hold in both cores
+        loc = loc * 1.6 - 0.3
     attw = rng.rand(B, Q, H, n_levels, P).astype(np.float32)
     attw = attw / attw.sum((-1, -2), keepdims=True)
 
@@ -49,7 +60,7 @@ def test_deform_attn_matches_torch_grid_sample(rng):
     )
 
     ours = np.asarray(
-        deformable_attention_core(
+        core(
             jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attw)
         )
     )
