@@ -28,7 +28,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.deform_attn import deformable_attention_core_matmul
+from ..ops.deform_attn import (
+    deformable_attention_core,
+    deformable_attention_core_matmul,
+)
 from ..ops.precision import to_loss_dtype
 from .layers import MLP, TorchBatchNorm, get_activation
 from .transformer import _Attention
@@ -115,8 +118,16 @@ class MSDeformableAttention(nn.Module):
         # made the decoder 82% of the model forward on v5e (PERF.md
         # round-3 RT-DETR breakdown); the matmul form is exact-equivalent
         # (tests/test_rtdetr.py runs both against the live grid_sample
-        # oracle).
-        out = deformable_attention_core_matmul(
+        # oracle). Static size guard: the matmul core materializes a
+        # (B, Q, H, P, hw) weight block per level — fine for the speed
+        # task (Q=30, hw<=4096 even @512) but ~20 GB for COCO det
+        # (Q=300 @640, hw=6400), where the gather core stays.
+        max_hw = max(h * w for h, w in spatial_shapes)
+        if Q * self.num_points * max_hw <= 1 << 20:
+            core = deformable_attention_core_matmul
+        else:
+            core = deformable_attention_core
+        out = core(
             v.astype(self.dtype), list(spatial_shapes), locations, attw
         )
         return nn.Dense(self.embed_dim, dtype=self.dtype, name="output_proj")(out)
