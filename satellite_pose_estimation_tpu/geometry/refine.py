@@ -69,6 +69,44 @@ def _residual_and_jacobian(world, obs, K_diag, R, t, mask):
     return res * m, J * m[..., None]
 
 
+def _chol_solve6(A, b):
+    """Unrolled Cholesky solve for the damped SPD 6x6 normal equations.
+
+    jnp.linalg.solve lowers to a generic batched LU on TPU whose pivoting
+    serializes poorly under vmap; this fully-unrolled Cholesky is pure
+    elementwise arithmetic, so under vmap every op vectorizes over the
+    image batch (measured ~9x faster than the LU chain at the LM loop's
+    20-solve depth, tools_dev/pnp_ab.py). A is SPD by construction
+    (J^T J + positive damping), so no pivoting is needed.
+    """
+    n = 6
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+        inv = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s = A[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def _solve_step(res, J, lm_lambda):
     """Damped normal-equation step: (J^T J + lambda diag) dx = -J^T r."""
     Jf = J.reshape(-1, 6)
@@ -76,7 +114,7 @@ def _solve_step(res, J, lm_lambda):
     JtJ = Jf.T @ Jf
     Jtr = Jf.T @ rf
     damp = lm_lambda * jnp.diag(jnp.diagonal(JtJ)) + 1e-9 * jnp.eye(6, dtype=J.dtype)
-    dx = jnp.linalg.solve(JtJ + damp, -Jtr)
+    dx = _chol_solve6(JtJ + damp, -Jtr)
     return dx
 
 
