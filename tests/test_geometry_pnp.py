@@ -247,3 +247,70 @@ def test_speed_score_matches_reference_formula(rng):
         )
         np.testing.assert_allclose(float(s_t), s_t_ref, atol=1e-6)
         np.testing.assert_allclose(float(s_q), s_q_ref, atol=1e-5)
+
+
+def test_ferrari_quartic_matches_numpy_roots(rng):
+    """The closed-form Ferrari solver (geometry/p3p.py, the P3P hot path —
+    replaces Durand-Kerner iteration, see tools_dev/pnp_ab.py) must return
+    the same root multiset as numpy's companion-matrix eigensolve, over
+    random quartics plus the guarded degenerate families (biquadratic q~0,
+    double resolvent roots, tiny leading coefficient)."""
+    from satellite_pose_estimation_tpu.geometry.p3p import (
+        _quartic_roots_ferrari,
+    )
+
+    # (coeffs lowest-first, oracle roots, tolerance). Repeated roots are
+    # conditioned as eps^(1/multiplicity), so constructed double/quadruple
+    # cases compare against the TRUE roots at a loosened tolerance instead
+    # of against np.roots' own equally-perturbed output.
+    cases = []
+    for _ in range(50):
+        c = rng.randn(5)
+        if abs(c[4]) < 1e-6:
+            c[4] = 1.0
+        cases.append((c, np.roots(c[::-1]), 1e-5))
+    # biquadratic family: odd coefficients zero after depression
+    for _ in range(10):
+        b, d, lead = rng.randn(), rng.randn(), rng.randn()
+        lead = lead if abs(lead) > 1e-6 else 1.0
+        c = np.array([d, 0.0, b, 0.0, lead])
+        cases.append((c, np.roots(c[::-1]), 1e-5))
+    # exact double/quadruple real roots: (x - r)^2 (x - s)^2, (x - r)^4
+    for _ in range(10):
+        r, s = rng.randn(), rng.randn()
+        cases.append((
+            np.polynomial.polynomial.polyfromroots([r, r, s, s]),
+            np.array([r, r, s, s], np.complex128), 1e-3,
+        ))
+    cases.append((
+        np.polynomial.polynomial.polyfromroots([1.3] * 4),
+        np.full(4, 1.3, np.complex128), 5e-3,
+    ))
+
+    for c_low, want, tol in cases:
+        c_low = np.asarray(c_low, np.float64)
+        got = np.asarray(_quartic_roots_ferrari(jnp.asarray(c_low)))
+        # Greedy nearest-match: root ordering differs between solvers.
+        want_left = list(want)
+        for g in got:
+            j = int(np.argmin([abs(g - w) for w in want_left]))
+            assert abs(g - want_left[j]) < tol * max(
+                1.0, np.abs(want).max()
+            ), (c_low, got, want)
+            want_left.pop(j)
+
+
+def test_chol_solve6_matches_numpy_solve(rng):
+    """The unrolled pivot-free Cholesky (geometry/refine.py::_chol_solve6,
+    the LM normal-equation hot path) must match numpy's LU solve on SPD
+    systems shaped like damped J^T J, including ill-conditioned ones."""
+    from satellite_pose_estimation_tpu.geometry.refine import _chol_solve6
+
+    for scale in (1.0, 1e-4, 1e4):
+        for _ in range(20):
+            J = rng.randn(22, 6) * scale
+            A = J.T @ J + 1e-6 * np.eye(6) * scale**2
+            b = rng.randn(6)
+            got = np.asarray(_chol_solve6(jnp.asarray(A), jnp.asarray(b)))
+            want = np.linalg.solve(A, b)
+            np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
