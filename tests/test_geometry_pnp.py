@@ -254,7 +254,8 @@ def test_ferrari_quartic_matches_numpy_roots(rng):
     replaces Durand-Kerner iteration, see tools_dev/pnp_ab.py) must return
     the same root multiset as numpy's companion-matrix eigensolve, over
     random quartics plus the guarded degenerate families (biquadratic q~0,
-    double resolvent roots, tiny leading coefficient)."""
+    double resolvent roots; the tiny-leading-coefficient family has its
+    own dedicated test below)."""
     from satellite_pose_estimation_tpu.geometry.p3p import (
         _quartic_roots_ferrari,
     )
@@ -300,6 +301,70 @@ def test_ferrari_quartic_matches_numpy_roots(rng):
             want_left.pop(j)
 
 
+def _match_roots_relative(got, want, tol):
+    """Greedy nearest-match with PER-ROOT relative tolerance (needed when
+    the root magnitudes span many orders, e.g. the tiny-lead family)."""
+    want_left = list(want)
+    for g in got:
+        j = int(np.argmin([abs(g - w) for w in want_left]))
+        w = want_left[j]
+        assert abs(g - w) < tol * max(1.0, abs(w)), (got, want)
+        want_left.pop(j)
+
+
+def test_ferrari_quartic_tiny_leading_coefficient(rng):
+    """Exercises the small-lead regime of _quartic_roots_ferrari (p3p.py),
+    measured empirically (this test's development probe): root accuracy
+    vs np.roots survives down to lead ~1e-4 (the depression substitution
+    divides by lead, so cancellation grows as 1/lead); below that — and
+    through the |lead|<1e-12 clamp — the guard's actual contract is
+    FINITENESS (no NaN/Inf to poison the vmapped RANSAC batch); accuracy
+    there is the job of the callers' Newton polish + residual check
+    (p3p.py docstring)."""
+    from satellite_pose_estimation_tpu.geometry.p3p import (
+        _quartic_roots_ferrari,
+    )
+
+    for _ in range(10):
+        c = rng.randn(5)
+        # accuracy regime: small-but-benign leads
+        for lead in (1e-2, 1e-3, 1e-4):
+            c_case = c.copy()
+            c_case[4] = lead * np.sign(c_case[4] or 1.0)
+            got = np.asarray(
+                _quartic_roots_ferrari(jnp.asarray(c_case, np.float64)))
+            _match_roots_relative(got, np.roots(c_case[::-1]), 1e-3)
+        # finiteness regime: degenerate leads incl. below the 1e-12 clamp
+        for lead in (1e-7, 1e-9, 1e-13, 0.0):
+            c_case = c.copy()
+            c_case[4] = lead
+            got = np.asarray(
+                _quartic_roots_ferrari(jnp.asarray(c_case, np.float64)))
+            assert np.isfinite(got).all(), (lead, got)
+
+
+def test_ferrari_quartic_complex64_production_path(rng):
+    """The TPU production path solves in complex64 (f32 coeffs — see the
+    p3p.py dtype note); pin it directly with a loosened tolerance against
+    the f64 np.roots oracle, on well-separated-root quartics (f32 coeff
+    rounding alone perturbs clustered roots beyond any fixed tol)."""
+    from satellite_pose_estimation_tpu.geometry.p3p import (
+        _quartic_roots_ferrari,
+    )
+
+    for _ in range(30):
+        # sample 4 real roots with >=0.3 separation in [-2.5, 2.5]
+        roots = np.sort(rng.uniform(-2.5, 2.5, 4))
+        roots += np.arange(4) * 0.3
+        lead = rng.uniform(0.5, 2.0) * (1 if rng.rand() < 0.5 else -1)
+        c_low = np.polynomial.polynomial.polyfromroots(roots) * lead
+        c32 = jnp.asarray(c_low, jnp.float32)
+        assert c32.dtype == jnp.float32
+        got = np.asarray(_quartic_roots_ferrari(c32))
+        assert got.dtype == np.complex64
+        _match_roots_relative(got, np.roots(c_low[::-1]), 1e-2)
+
+
 def test_chol_solve6_matches_numpy_solve(rng):
     """The unrolled pivot-free Cholesky (geometry/refine.py::_chol_solve6,
     the LM normal-equation hot path) must match numpy's LU solve on SPD
@@ -314,3 +379,18 @@ def test_chol_solve6_matches_numpy_solve(rng):
             got = np.asarray(_chol_solve6(jnp.asarray(A), jnp.asarray(b)))
             want = np.linalg.solve(A, b)
             np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+
+    # Genuinely ill-conditioned: a near-repeated column leaves J^T J
+    # rank-deficient up to the LM damping, cond(A) ~ 1e8+ — the regime a
+    # damped LM step actually hits when two keypoints nearly coincide.
+    for _ in range(10):
+        J = rng.randn(22, 6)
+        J[:, 5] = J[:, 3] + 1e-4 * rng.randn(22)
+        A = J.T @ J + 1e-6 * np.eye(6)
+        assert np.linalg.cond(A) > 1e6
+        b = rng.randn(6)
+        got = np.asarray(_chol_solve6(jnp.asarray(A), jnp.asarray(b)))
+        want = np.linalg.solve(A, b)
+        # both solvers lose ~cond*eps digits; compare at the level the
+        # conditioning supports
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
