@@ -144,6 +144,9 @@ class YAMLConfig:
             expansion=float(h.get("expansion", 1.0)),
             dropout=0.0,
             learnt_init_query=bool(t.get("learnt_init_query", False)),
+            num_denoising=int(t.get("num_denoising", 0)),
+            label_noise_ratio=float(t.get("label_noise_ratio", 0.5)),
+            box_noise_scale=float(t.get("box_noise_scale", 1.0)),
             # detection task = 4-D box head (the reference decoder switches
             # on task the same way, R2/src/zoo/rtdetr/rtdetr_decoder.py)
             box_dim=4 if self.task == "detection" else 2,

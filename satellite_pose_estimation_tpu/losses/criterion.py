@@ -57,7 +57,13 @@ def _point_term(pred_pts, tgt_pts, sigmas, kind, beta):
     raise ValueError(kind)
 
 
-def _one_level(outputs, targets, cfg: CriterionConfig, num_points, log: bool):
+def _one_level(outputs, targets, cfg: CriterionConfig, num_points, log: bool,
+               q4t=None):
+    """``q4t``: optional fixed (B, T) query-for-target assignment. When
+    given, the Hungarian matcher is skipped — the CDN denoising branch
+    matches positive dn queries to their source targets by construction
+    (R2/src/zoo/rtdetr/rtdetr_criterion.py:370-394
+    get_cdn_matched_indices; static for the fixed-T speed task)."""
     logits = outputs["pred_logits"]  # (B, Q, C+1)
     points = outputs["pred_points"]  # (B, Q, 2)
     sigmas = outputs.get("pred_sigmas")  # (B, Q, 2) or None
@@ -66,11 +72,12 @@ def _one_level(outputs, targets, cfg: CriterionConfig, num_points, log: bool):
     B, Q, C1 = logits.shape
     T = labels.shape[1]
 
-    q4t = hungarian_match(
-        logits, points, labels, landmarks,
-        cost_class=cfg.cost_class, cost_pts=cfg.cost_pts,
-        use_focal=cfg.use_focal,
-    )  # (B, T)
+    if q4t is None:
+        q4t = hungarian_match(
+            logits, points, labels, landmarks,
+            cost_class=cfg.cost_class, cost_pts=cfg.cost_pts,
+            use_focal=cfg.use_focal,
+        )  # (B, T)
 
     # --- classification: scatter matched labels into a (B, Q) target map.
     tgt_classes = jnp.full((B, Q), cfg.num_classes, jnp.int32)
@@ -156,6 +163,32 @@ def set_criterion(
             )
             losses[f"loss_ce_{i}"] = aux_losses["loss_ce"]
             losses[f"loss_points_{i}"] = aux_losses["loss_points"]
+
+    # --- CDN denoising branch (R2/src/zoo/rtdetr/rtdetr_criterion.py:
+    # 339-366): fixed positive-query<->target matching, num_points scaled
+    # by the group count, every decoder layer contributes a dn level.
+    if "dn_aux_outputs" in outputs and "dn_meta" in outputs:
+        G = int(outputs["dn_meta"]["dn_num_group"])
+        # group g's positives sit at queries g*2T + [0, T) by construction
+        # (models/denoising.py layout [pos T | neg T] per group)
+        q4t_dn = (
+            jnp.arange(T, dtype=jnp.int32)[None, :]
+            + 2 * T * jnp.arange(G, dtype=jnp.int32)[:, None]
+        ).reshape(1, G * T).repeat(B, 0)  # (B, G*T)
+        dn_targets = {
+            "labels": jnp.tile(targets["labels"], (1, G)),
+            "landmarks": jnp.tile(targets["landmarks"], (1, G, 1)),
+        }
+        num_points_dn = num_points * G
+        for i, aux in enumerate(outputs["dn_aux_outputs"]):
+            dn_losses = _one_level(aux, dn_targets, cfg, num_points_dn,
+                                   log=False, q4t=q4t_dn)
+            total = total + (
+                cfg.weight_ce * dn_losses["loss_ce"]
+                + cfg.weight_points * dn_losses["loss_points"]
+            )
+            losses[f"loss_ce_dn_{i}"] = dn_losses["loss_ce"]
+            losses[f"loss_points_dn_{i}"] = dn_losses["loss_points"]
 
     losses["loss_total"] = total
     return total, losses

@@ -72,7 +72,10 @@ def _match(logits, boxes, tgt_labels, tgt_boxes, tgt_mask, cfg):
     return jax.vmap(hungarian)(jax.lax.stop_gradient(C.astype(jnp.float32)))
 
 
-def _one_level(outputs, targets, cfg, num_boxes):
+def _one_level(outputs, targets, cfg, num_boxes, q4t=None):
+    """``q4t``: optional fixed assignment (CDN denoising levels — positive
+    dn queries match their source targets by construction, cf.
+    R2/src/zoo/rtdetr/rtdetr_criterion.py:370-394)."""
     logits = outputs["pred_logits"]  # (B, Q, C) — sigmoid/focal, no bg class
     boxes = outputs["pred_points"]  # (B, Q, 4) cxcywh
     tgt_labels = targets["labels"]  # (B, T), -1 pad
@@ -81,7 +84,8 @@ def _one_level(outputs, targets, cfg, num_boxes):
     B, Q, C = logits.shape
     T = tgt_labels.shape[1]
 
-    q4t = _match(logits, boxes, tgt_labels, tgt_boxes, tgt_mask, cfg)
+    if q4t is None:
+        q4t = _match(logits, boxes, tgt_labels, tgt_boxes, tgt_mask, cfg)
 
     matched_boxes = jnp.take_along_axis(
         boxes, q4t[..., None].repeat(4, -1), axis=1
@@ -147,5 +151,26 @@ def set_criterion_boxes(outputs, targets,
             total = total + weighted(al)
             losses[f"loss_vfl_{i}"] = al["loss_vfl"]
             losses[f"loss_bbox_{i}"] = al["loss_bbox"]
+
+    # CDN denoising levels: fixed positive<->target matching, num_boxes
+    # scaled by the group count (R2 rtdetr_criterion.py:339-366; padded
+    # targets stay masked out via their -1 labels).
+    if "dn_aux_outputs" in outputs and "dn_meta" in outputs:
+        B, T = targets["labels"].shape
+        G = int(outputs["dn_meta"]["dn_num_group"])
+        q4t_dn = (
+            jnp.arange(T, dtype=jnp.int32)[None, :]
+            + 2 * T * jnp.arange(G, dtype=jnp.int32)[:, None]
+        ).reshape(1, G * T).repeat(B, 0)
+        dn_targets = {
+            "labels": jnp.tile(targets["labels"], (1, G)),
+            "boxes": jnp.tile(targets["boxes"], (1, G, 1)),
+        }
+        for i, aux in enumerate(outputs["dn_aux_outputs"]):
+            dl = _one_level(aux, dn_targets, cfg, num_boxes * G, q4t=q4t_dn)
+            total = total + weighted(dl)
+            losses[f"loss_vfl_dn_{i}"] = dl["loss_vfl"]
+            losses[f"loss_bbox_dn_{i}"] = dl["loss_bbox"]
+
     losses["loss_total"] = total
     return total, losses

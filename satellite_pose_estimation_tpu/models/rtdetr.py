@@ -38,6 +38,9 @@ class RTDETRConfig:
     dropout: float = 0.0
     learnt_init_query: bool = False
     box_dim: int = 2  # 2 = speed landmarker, 4 = COCO detection
+    num_denoising: int = 0  # CDN groups (train-only; models/denoising.py)
+    label_noise_ratio: float = 0.5
+    box_noise_scale: float = 1.0
     deploy: bool = False
     dtype: Any = jnp.float32
 
@@ -46,7 +49,7 @@ class RTDETR(nn.Module):
     config: RTDETRConfig
 
     @nn.compact
-    def __call__(self, images, train: bool = False):
+    def __call__(self, images, train: bool = False, targets=None):
         cfg = self.config
         if cfg.backbone.startswith("mobilenetv3"):
             from .mobilenetv3 import MobileNetV3
@@ -91,9 +94,12 @@ class RTDETR(nn.Module):
             dropout=cfg.dropout,
             learnt_init_query=cfg.learnt_init_query,
             box_dim=cfg.box_dim,
+            num_denoising=cfg.num_denoising,
+            label_noise_ratio=cfg.label_noise_ratio,
+            box_noise_scale=cfg.box_noise_scale,
             dtype=cfg.dtype,
             name="decoder",
-        )(feats, train)
+        )(feats, train, targets=targets)
 
 
 def convert_params_to_deploy(params, batch_stats):

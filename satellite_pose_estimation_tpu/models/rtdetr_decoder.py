@@ -16,8 +16,10 @@ uncertainty paper's specialisation of RT-DETR from 4-D boxes to 2-D points:
 * outputs pred_logits/pred_pts/pred_sigmas + aux per layer + enc-topk aux.
 
 Denoising (num_denoising) is plumbed in the reference but hardcoded off for
-the speed task (:693-698, configs set num_denoising: 0); we implement the
-exercised path.
+the speed task (:693-698, configs set num_denoising: 0); here it is wired
+END-TO-END: pass ``targets`` with ``num_denoising > 0`` in training and the
+decoder builds CDN groups (models/denoising.py), masks self-attention, and
+returns ``dn_aux_outputs`` + ``dn_meta`` for the criterion's CDN branch.
 """
 from __future__ import annotations
 
@@ -145,13 +147,14 @@ class RTDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, tgt, reference_points, memory, spatial_shapes,
-                 query_pos, deterministic=True):
+                 query_pos, deterministic=True, attn_mask=None):
         act = get_activation(self.activation)
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
         q = k = tgt + query_pos
         sa = _Attention(self.d_model, self.n_head, self.dropout, self.dtype,
-                        name="self_attn")(q, k, tgt, deterministic)
+                        name="self_attn")(q, k, tgt, deterministic,
+                                          attn_mask=attn_mask)
         tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt + drop(sa))
 
         ca = MSDeformableAttention(
@@ -190,6 +193,9 @@ class RTDETRTransformer(nn.Module):
     eval_idx: int = -1
     eps: float = 1e-2
     aux_loss: bool = True
+    num_denoising: int = 0  # CDN groups (train only; see models/denoising.py)
+    label_noise_ratio: float = 0.5
+    box_noise_scale: float = 1.0
     dtype: Any = jnp.float32
 
     def _anchors(self, spatial_shapes, grid_size=0.05):
@@ -213,7 +219,11 @@ class RTDETRTransformer(nn.Module):
         return logit, valid
 
     @nn.compact
-    def __call__(self, feats, train: bool = False):
+    def __call__(self, feats, train: bool = False, targets=None):
+        """``targets``: optional {"labels" (B, T), "points" (B, T, box_dim)}
+        — required to build CDN denoising groups when training with
+        num_denoising > 0 (R2/src/zoo/rtdetr/rtdetr_decoder.py:688-699;
+        the reference hardcodes the groups off, we wire them through)."""
         cfg_dtype = self.dtype
         # --- flatten multi-level features + per-level projection
         proj_feats = []
@@ -270,6 +280,38 @@ class RTDETRTransformer(nn.Module):
         else:
             target = jax.lax.stop_gradient(gather(out_mem))
 
+        # --- CDN denoising groups ahead of the matching queries (train
+        # only; models/denoising.py). The embedding table mirrors the
+        # reference's nn.Embedding(num_classes+1, hidden) — its padding
+        # row (index num_classes) is never selected for the fixed-T speed
+        # task, so a plain normal init stands in for padding_idx.
+        dn_meta = None
+        attn_mask = None
+        if train and self.num_denoising > 0 and targets is not None:
+            from .denoising import build_denoising_group
+
+            dn_table = self.param(
+                "denoising_class_embed", nn.initializers.normal(1.0),
+                (self.num_classes + 1, self.hidden_dim),
+            )
+            dn_embed, dn_points_unact, attn_mask, dn_meta = \
+                build_denoising_group(
+                    self.make_rng("denoising"),
+                    targets["labels"],
+                    targets["points"].astype(jnp.float32),
+                    dn_table,
+                    self.num_queries,
+                    self.num_classes,
+                    self.num_denoising,
+                    self.label_noise_ratio,
+                    self.box_noise_scale,
+                )
+            target = jnp.concatenate(
+                [dn_embed.astype(cfg_dtype), target], axis=1)
+            ref_points_unact = jnp.concatenate(
+                [jax.lax.stop_gradient(dn_points_unact), ref_points_unact],
+                axis=1)
+
         # --- decoder with iterative refinement + sigma heads
         query_pos_head = MLP(2 * self.hidden_dim, self.hidden_dim, 2,
                              dtype=cfg_dtype, name="query_pos_head")
@@ -287,7 +329,7 @@ class RTDETRTransformer(nn.Module):
                 self.dropout, self.activation, self.num_levels,
                 self.num_decoder_points, cfg_dtype, name=f"decoder_layer_{i}",
             )(output, ref_points_detach, memory, spatial_shapes, query_pos,
-              deterministic=not train)
+              deterministic=not train, attn_mask=attn_mask)
 
             delta = MLP(self.hidden_dim, self.box_dim, 3, dtype=cfg_dtype,
                         name=f"dec_bbox_head_{i}")(output)
@@ -315,11 +357,41 @@ class RTDETRTransformer(nn.Module):
                 jax.lax.stop_gradient(inter_ref) if train else inter_ref
             )
 
+        dn_out = None
+        if dn_meta is not None:
+            # split dn queries back off every per-layer output
+            # (R2/src/zoo/rtdetr/rtdetr_decoder.py:725-732)
+            n_dn = dn_meta["dn_num_split"][0]
+            dn_out = {
+                "logits": [l[:, :n_dn] for l in dec_out_logits],
+                "points": [p[:, :n_dn] for p in dec_out_points],
+                "sigmas": [s[:, :n_dn] for s in dec_out_sigmas],
+            }
+            dec_out_logits = [l[:, n_dn:] for l in dec_out_logits]
+            dec_out_points = [p[:, n_dn:] for p in dec_out_points]
+            dec_out_sigmas = [s[:, n_dn:] for s in dec_out_sigmas]
+
         out = {
             "pred_logits": to_loss_dtype(dec_out_logits[-1]),
             "pred_points": to_loss_dtype(dec_out_points[-1]),
             "pred_sigmas": to_loss_dtype(dec_out_sigmas[-1]),
         }
+        if dn_out is not None:
+            # every decoder layer (incl. the last) gets a dn aux level;
+            # sigmas are included so points_uncert recipes train their dn
+            # branch with the same loss (the reference's dead-code call
+            # omits them and would TypeError if ever enabled —
+            # R2/src/zoo/rtdetr/rtdetr_decoder.py:749 passes 2 args to the
+            # 3-arg _set_aux_loss; we ship the working form).
+            out["dn_aux_outputs"] = [
+                {
+                    "pred_logits": to_loss_dtype(dn_out["logits"][i]),
+                    "pred_points": to_loss_dtype(dn_out["points"][i]),
+                    "pred_sigmas": to_loss_dtype(dn_out["sigmas"][i]),
+                }
+                for i in range(self.num_decoder_layers)
+            ]
+            out["dn_meta"] = dn_meta
         if self.aux_loss:
             aux = [
                 {

@@ -44,7 +44,10 @@ class _Attention(nn.Module):
     # on the deployment path (PERF.md).
 
     @nn.compact
-    def __call__(self, q, k, v, deterministic: bool = True):
+    def __call__(self, q, k, v, deterministic: bool = True, attn_mask=None):
+        """``attn_mask``: optional (Tq, Tk) bool, True = BLOCKED (torch
+        MultiheadAttention convention — used by the CDN denoising groups,
+        R2/src/zoo/rtdetr/denoising.py:112-140). Forces the xla core."""
         head_dim = self.d_model // self.nhead
         sm_scale = 1.0 / (head_dim ** 0.5)
         from ..ops.quantize import quant_scope
@@ -62,6 +65,8 @@ class _Attention(nn.Module):
 
         needs_dropout = self.dropout > 0.0 and not deterministic
         impl = self.impl if not needs_dropout else "xla"
+        if attn_mask is not None:
+            impl = "xla"  # masked self-attn (CDN groups): small N, xla core
         if impl == "fused" and q.shape[1] < 256:
             # Tiny sequences (decoder queries, AIFI levels): per-(b,h)
             # kernel-launch overhead beats any score-traffic savings.
@@ -93,6 +98,9 @@ class _Attention(nn.Module):
             s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * jnp.asarray(
                 sm_scale, qh.dtype
             )
+            if attn_mask is not None:
+                s = jnp.where(attn_mask[None, None],
+                              jnp.asarray(-1e9, s.dtype), s)
             p = jax.nn.softmax(s, axis=-1)
             p = nn.Dropout(self.dropout)(p, deterministic=deterministic)
             out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(vh.dtype), vh)

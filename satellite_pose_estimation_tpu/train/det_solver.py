@@ -138,16 +138,28 @@ class DetSolver(CheckpointMixin):
         if self.mesh is not None:
             self.state = replicate_tree(self.state, self.mesh)
 
+        denoising = bool(getattr(self.model.config, "num_denoising", 0))
+
         def train_step(state, images, labels, boxes, rng):
+            k_drop, k_dn = jax.random.split(rng)
+
             def loss_fn(params):
                 variables = {"params": params}
                 mutable = []
                 if state.batch_stats:
                     variables["batch_stats"] = state.batch_stats
                     mutable = ["batch_stats"]
+                kwargs = {}
+                rngs = {"dropout": k_drop}
+                if denoising:
+                    # CDN groups (models/denoising.py): padded labels (-1)
+                    # flow through; the builder maps them to the embedding
+                    # pad row and the criterion masks them
+                    kwargs["targets"] = {"labels": labels, "points": boxes}
+                    rngs["denoising"] = k_dn
                 result = state.apply_fn(
                     variables, images, train=True,
-                    rngs={"dropout": rng}, mutable=mutable,
+                    rngs=rngs, mutable=mutable, **kwargs,
                 )
                 outputs, new_stats = (
                     result if mutable else (result, state.batch_stats)

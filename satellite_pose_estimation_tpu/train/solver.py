@@ -226,9 +226,11 @@ class SpeedSolver(CheckpointMixin):
         if self.mesh is not None:
             self.state = replicate_tree(self.state, self.mesh)
 
+        model_cfg = getattr(model, "config", None)
         self.train_step = make_train_step(
             self.criterion_cfg, self.train_cfg,
             cfg.augment_config(self.resize),
+            denoising=bool(getattr(model_cfg, "num_denoising", 0)),
         )
         solver_kind = "sigma" if self.criterion_cfg.point_loss == "uncert" \
             else "simple"

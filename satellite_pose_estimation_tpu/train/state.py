@@ -119,7 +119,24 @@ def create_train_state(model, rng, sample_input, cfg: TrainConfig,
     """Init model variables + optimizer. ``tx`` overrides the default
     two-group AdamW with a registry-built transform (train/optim.py) when
     the config carries a full R2 optimizer/lr_scheduler section."""
-    variables = model.init(rng, sample_input, train=False)
+    init_kwargs = {}
+    if getattr(getattr(model, "config", None), "num_denoising", 0):
+        # CDN decoders create denoising params only when the dn branch is
+        # traced: init in train mode with placeholder targets (shapes only
+        # — batch/target count don't affect param shapes).
+        B_, bd = 2, getattr(model.config, "box_dim", 2)
+        init_kwargs = {
+            "train": True,
+            "targets": {
+                "labels": jnp.zeros((B_, 11), jnp.int32),
+                "points": jnp.full((B_, 11, bd), 0.5, jnp.float32),
+            },
+        }
+        rng = {"params": rng, "denoising": jax.random.PRNGKey(0),
+               "dropout": jax.random.PRNGKey(1)}
+        variables = model.init(rng, sample_input[:B_], **init_kwargs)
+    else:
+        variables = model.init(rng, sample_input, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     frozen = frozen_param_prefixes(variables)

@@ -34,16 +34,20 @@ def make_train_step(
     augment_cfg: AugmentConfig = AugmentConfig(),
     axis_name: Optional[str] = None,
     use_pallas_augment: bool = False,
+    denoising: bool = False,
 ):
     """Build the jitted train step.
 
     Batch dict (device arrays): image (B,P,P,3) uint8, clip_bbox_buf (B,4),
     landmarks_buf (B,K,2), labels (B,K). ``use_pallas_augment`` routes the
     photometric chain through the fused Pallas kernel (TPU only).
+    ``denoising``: pass targets + a "denoising" rng into the model so the
+    RT-DETR decoder builds CDN groups (models/denoising.py; requires a
+    model whose __call__ accepts ``targets``).
     """
 
     def train_step(state: TrainState, batch, rng):
-        k_aug, k_drop = jax.random.split(rng)
+        k_aug, k_drop, k_dn = jax.random.split(rng, 3)
         if use_pallas_augment:
             from ..data.augment import augment_batch_pallas
 
@@ -70,12 +74,21 @@ def make_train_step(
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
                 mutable = ["batch_stats"]
+            kwargs = {}
+            rngs = {"dropout": k_drop}
+            if denoising:
+                kwargs["targets"] = {
+                    "labels": batch["labels"],
+                    "points": kp_norm,
+                }
+                rngs["denoising"] = k_dn
             result = state.apply_fn(
                 variables,
                 images,
                 train=True,
-                rngs={"dropout": k_drop},
+                rngs=rngs,
                 mutable=mutable,
+                **kwargs,
             )
             if mutable:
                 outputs, updates = result
