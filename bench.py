@@ -6,10 +6,17 @@ quaternion, on the flagship R1 config (resnet50s8 DETR, input 224, matching
 the reference's measured ~125 img/s single-GPU eval, gen_single.sh /
 R1/get_inference_time.py:20-35).
 
-Synthetic packed buffers stand in for decoded JPEG crops (the reference's
-125 img/s likewise excludes JPEG decode, counted separately in its `data:`
-meter). Everything from the uint8 buffer onward runs as one jit program on
-device.
+Scope note (honest-baseline framing): the headline starts from packed
+DEVICE buffers — JPEG decode and host pack are excluded. The reference's
+125 img/s INCLUDES its host dataloader: `time: 0.1606`/batch-20 decomposes
+as model 0.102 + solver 0.009 + data 0.045 (R1/get_inference_time.py:20-35,
+the columns sum). So the default vs_baseline is device-pipeline vs
+host-inclusive. ``BENCH_HOST=1`` (with a rendered dataset at
+BENCH_DATA_ROOT) additionally measures the sustained HOST-INCLUSIVE
+pipeline — threaded JPEG decode -> pack -> prefetch -> device eval,
+steady-state, decode-cache cold AND warm — and reports all three numbers
+in the same JSON line (PERF.md round-4 table). Mind the host: this box has
+1 core (~22 ms/frame decode); the reference machine ran a full CPU.
 """
 import json
 import os
@@ -17,6 +24,59 @@ import sys
 import time
 
 import numpy as np
+
+
+def _host_pipeline_rates(root, eval_step, state, batch_size, jax):
+    """Sustained host-inclusive throughput: threaded JPEG decode ->
+    pack_crop -> collate -> prefetch -> device eval, chained dispatches,
+    one block at the end (CLAUDE.md timing rules). Returns decode-cache
+    cold and warm rates. The val-mode crop path is used (deterministic
+    boxes); batches carry exactly the headline's keys so the device
+    program matches the device-only measurement."""
+    import os as _os
+
+    from satellite_pose_estimation_tpu.data.dataset import SpeedTrainDataset
+    from satellite_pose_estimation_tpu.data.prefetch import (
+        prefetch_to_device,
+    )
+
+    pack = int(_os.environ.get("BENCH_PACK", "256"))
+
+    def run_pass(ds, timed_images):
+        n, outs = 0, []
+        t0 = time.perf_counter()
+        it = ds.batches(batch_size, shuffle=False, drop_last=True,
+                        prefetch=4)
+        keep = ("image", "clip_bbox_buf", "clip_bbox")
+        slim = ({k: b[k] for k in keep} for b in it)
+        for dev_batch in prefetch_to_device(slim, size=2):
+            outs.append(eval_step(state, dev_batch)["quat_pr"])
+            n += batch_size
+            if n >= timed_images:
+                break
+        jax.block_until_ready(outs)
+        return n / (time.perf_counter() - t0)
+
+    results = {}
+    n_timed = int(_os.environ.get("BENCH_HOST_IMAGES", "512"))
+
+    # cold: decode cache disabled — every frame decodes on the host
+    _os.environ["SPE_DECODE_CACHE"] = "0"
+    ds_cold = SpeedTrainDataset(
+        root, ann_file="wz_train.json", index_file="train_s.txt",
+        train=False, pack_size=pack)
+    results["host_cold_imgs_per_sec"] = round(
+        run_pass(ds_cold, n_timed), 2)
+
+    # warm: fill the cache with one untimed pass, then measure
+    _os.environ["SPE_DECODE_CACHE"] = "2048"
+    ds_warm = SpeedTrainDataset(
+        root, ann_file="wz_train.json", index_file="train_s.txt",
+        train=False, pack_size=pack)
+    run_pass(ds_warm, n_timed)
+    results["host_warm_imgs_per_sec"] = round(
+        run_pass(ds_warm, n_timed), 2)
+    return results
 
 
 def main():
@@ -243,6 +303,21 @@ def main():
                   "end-to-end eval images/sec/chip (crop->keypoints->"
                   "sigma-PnP, RT-DETR r50vd)")
         baseline = 125.0  # reference single-GPU eval throughput
+        # (NB: the reference number is HOST-INCLUSIVE — see module
+        # docstring; BENCH_HOST=1 measures the comparable pipeline here.)
+
+        if os.environ.get("BENCH_HOST", "0") == "1":
+            root = os.environ.get("BENCH_DATA_ROOT", "/tmp/synth_r4")
+            ann = os.path.join(root, "annos/wz_train.json")
+            if not os.path.exists(ann):
+                print(f"BENCH_HOST: no dataset at {root}; skipping",
+                      file=sys.stderr)
+            else:
+                with qctx():
+                    host = _host_pipeline_rates(
+                        root, eval_step, state, batch_size, jax
+                    )
+                extra.update(host)
 
     print(
         json.dumps(
