@@ -56,11 +56,14 @@ class AugmentConfig(NamedTuple):
     cutout_max: int = 40
     p_trunc: float = 0.2
     trunc_ratio: float = 0.2
-    # "shear" = Paeth 3-shear rotation with binary-decomposed shifts (no
-    # 2-D gather — the TPU-fast path); "pallas" = the same shears fused
-    # into one VMEM kernel (ops/pallas_rotate.py, TPU only); "gather" =
-    # direct inverse-affine warp (bitwise cv2.warpAffine, ~5x slower).
-    rotate_impl: str = "shear"
+    # "bmm" (default) = Paeth 3-shear rotation with each shear as a
+    # per-row-matrix batched MATMUL (ops/image_warp.rotate_shear3_bmm:
+    # 11.8 ms vs 24.8 for the 51-image subset @224 — the MXU resamples
+    # instead of a select chain); "shear" = the binary-decomposed-shift
+    # form; "pallas" = shears fused into one VMEM kernel
+    # (ops/pallas_rotate.py, TPU only); "gather" = direct inverse-affine
+    # warp (bitwise cv2.warpAffine, ~5x slower).
+    rotate_impl: str = "bmm"
 
 
 def _sample_affine(rng, clip_bbox, cfg: AugmentConfig):
@@ -487,7 +490,13 @@ def augment_batch(rng, images, clip_bboxes, landmarks,
             k_rot, (n_rot,), minval=-cfg.rotate_limit_deg,
             maxval=cfg.rotate_limit_deg) * (jnp.pi / 180.0)
         c = (S - 1.0) / 2.0
-        if cfg.rotate_impl == "pallas" and cfg.rotate_limit_deg <= 90.0:
+        if cfg.rotate_impl == "bmm" and cfg.rotate_limit_deg <= 90.0:
+            from ..ops.image_warp import rotate_shear3_bmm
+
+            rotated = jax.vmap(
+                lambda im, th: rotate_shear3_bmm(im, th, cubic))(
+                jnp.take(warped, idx, axis=0), thetas)
+        elif cfg.rotate_impl == "pallas" and cfg.rotate_limit_deg <= 90.0:
             from ..ops.pallas_rotate import rotate_shear3_pallas
 
             rotated = rotate_shear3_pallas(

@@ -118,9 +118,30 @@ def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return inter / np.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-9)
 
 
+def _mask_iou_matrix(a, b) -> np.ndarray:
+    """Binary-mask IoU (N, M): a (N, H, W), b (M, H, W) bool. The segm
+    iou-type's IoU definition (pycocotools maskUtils.iou on decoded masks;
+    R2/src/data/coco/coco_eval.py iou_types)."""
+    a = np.asarray(a, bool).reshape(len(a), -1)
+    b = np.asarray(b, bool).reshape(len(b), -1)
+    inter = (a[:, None, :] & b[None, :, :]).sum(-1).astype(np.float64)
+    union = (a[:, None, :] | b[None, :, :]).sum(-1).astype(np.float64)
+    return inter / np.maximum(union, 1e-9)
+
+
 class CocoEvaluator:
-    """COCO-protocol bbox AP. update() with per-image detections and GT;
-    summarize() returns {AP, AP50, AP75}."""
+    """COCO-protocol AP over bbox or segm iou-types. update() with
+    per-image detections and GT; summarize() returns {AP, AP50, AP75}.
+
+    ``iou_type``: "bbox" (xyxy box IoU) or "segm" (binary-mask IoU via
+    ``update(..., gt_masks=, det_masks=)``) — the two iou_types the
+    reference's CocoEvaluator wraps (R2/src/data/coco/coco_eval.py:18-24;
+    its "keypoints" type is never built by any config and raises here).
+    The reference's cross-rank merge (coco_eval.py:26-278, gather +
+    concatenate eval_imgs before accumulate) is unnecessary under SPMD:
+    sharded eval outputs are globally-addressable arrays, so every
+    process feeds the full result set in-process —
+    tests/test_det_solver.py asserts the dp2==single-device equivalence."""
 
     # pycocotools p.iouThrs = np.linspace(.5, .95, 10) — NOT arange, whose
     # accumulated float error can flip an exact-tie IoU>=t comparison
@@ -129,30 +150,47 @@ class CocoEvaluator:
     RECALL_POINTS = np.linspace(0, 1, 101)
     MAX_DETS = 100  # p.maxDets[-1]: per-image-per-category detection cap
 
-    def __init__(self):
+    def __init__(self, iou_type: str = "bbox"):
+        if iou_type not in ("bbox", "segm"):
+            raise ValueError(
+                f"unsupported iou_type {iou_type!r}: this evaluator "
+                "implements bbox and segm (the reference never builds "
+                "its keypoints type)")
+        self.iou_type = iou_type
         # per category: list of (score, matched[t]) and gt counts
         self.dets = defaultdict(list)  # cat -> [(score, match_mask (T,))]
         self.n_gt = defaultdict(int)
 
-    def update(self, gt_boxes, gt_labels, det_boxes, det_labels, det_scores):
-        """One image. Boxes xyxy pixel coords."""
-        gt_boxes = np.asarray(gt_boxes).reshape(-1, 4)
-        det_boxes = np.asarray(det_boxes).reshape(-1, 4)
+    def update(self, gt_boxes, gt_labels, det_boxes, det_labels, det_scores,
+               gt_masks=None, det_masks=None):
+        """One image. Boxes xyxy pixel coords; for iou_type="segm" pass
+        gt_masks (G, H, W) and det_masks (D, H, W) binary masks (boxes may
+        then be None)."""
+        if self.iou_type == "segm":
+            if gt_masks is None or det_masks is None:
+                raise ValueError("segm iou_type requires gt_masks/det_masks")
+            gt_items = np.asarray(gt_masks, bool)
+            det_items = np.asarray(det_masks, bool)
+            iou_fn = _mask_iou_matrix
+        else:
+            gt_items = np.asarray(gt_boxes).reshape(-1, 4)
+            det_items = np.asarray(det_boxes).reshape(-1, 4)
+            iou_fn = _iou_matrix
         gt_labels = np.asarray(gt_labels).astype(int)
         det_labels = np.asarray(det_labels).astype(int)
         det_scores = np.asarray(det_scores)
 
         for cat in set(gt_labels.tolist()) | set(det_labels.tolist()):
-            g = gt_boxes[gt_labels == cat]
+            g = gt_items[gt_labels == cat]
             d_idx = np.where(det_labels == cat)[0]
-            d = det_boxes[d_idx]
+            d = det_items[d_idx]
             s = det_scores[d_idx]
             order = np.argsort(-s, kind="stable")
             d, s = d[order][: self.MAX_DETS], s[order][: self.MAX_DETS]
             self.n_gt[cat] += len(g)
             if len(d) == 0:
                 continue
-            iou = _iou_matrix(d, g) if len(g) else np.zeros((len(d), 0))
+            iou = iou_fn(d, g) if len(g) else np.zeros((len(d), 0))
             T = len(self.IOU_THRESHOLDS)
             taken = np.zeros((T, len(g)), bool)
             for di in range(len(d)):

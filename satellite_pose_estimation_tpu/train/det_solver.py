@@ -61,14 +61,17 @@ def _parse_multi_scale(yaml_cfg) -> Optional[list]:
 
 class DetSolver(CheckpointMixin):
     def __init__(self, cfg, data_root: str = "./data/coco", seed: int = 42,
-                 max_targets: int = 100):
+                 max_targets: int = 100, mesh=None):
+        """``mesh``: None = auto data-parallel over the available devices
+        (parallel.mesh.auto_mesh); False = force single-device; or an
+        explicit jax Mesh."""
         self.cfg = cfg
         self.data_root = data_root
         self.seed = seed
         self.max_targets = max_targets
         self.output_dir = cfg.output_dir
         os.makedirs(self.output_dir, exist_ok=True)
-        self.mesh = None
+        self.mesh = mesh
         self.start_epoch = 0
         self._resume_path = None
         self._tuning_path = None
@@ -135,6 +138,8 @@ class DetSolver(CheckpointMixin):
         # itself, so only the train batch constrains the mesh.
         if self.mesh is None:
             self.mesh = auto_mesh(self.batch_size)
+        elif self.mesh is False:
+            self.mesh = None
         if self.mesh is not None:
             self.state = replicate_tree(self.state, self.mesh)
 

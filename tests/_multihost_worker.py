@@ -15,6 +15,12 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Share the suite's persistent compilation cache: on this 1-core host a
+# cold compile under concurrent load can exceed the parent's subprocess
+# timeout (which kills with SIGKILL — historically misread as host OOM);
+# warm-cache runs finish in seconds.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

@@ -227,3 +227,77 @@ def test_fuzz_matches_independent_oracle():
                 got[k], want[k], atol=1e-10,
                 err_msg=f"trial {trial}: {k} deviates from protocol oracle",
             )
+
+
+# --------------------------------------------------------------------------
+# segm iou-type (round 4, VERDICT item 7): mask IoU plugs into the same
+# matching/accumulate machinery. Cross-check: filled-rectangle masks give
+# bit-identical APs to the bbox path (their IoUs are equal by construction),
+# which transitively re-validates segm against the scalar protocol oracle.
+# --------------------------------------------------------------------------
+
+
+def _boxes_to_masks(boxes, H=128, W=128):
+    m = np.zeros((len(boxes), H, W), bool)
+    for i, (x1, y1, x2, y2) in enumerate(np.asarray(boxes, int)):
+        m[i, max(y1, 0):max(y2, 0), max(x1, 0):max(x2, 0)] = True
+    return m
+
+
+def test_segm_equals_bbox_on_rectangle_masks():
+    rng = np.random.RandomState(11)
+    ev_b = CocoEvaluator("bbox")
+    ev_s = CocoEvaluator("segm")
+    for _ in range(5):
+        n_g, n_d = rng.randint(1, 4), rng.randint(1, 6)
+        g = np.stack([
+            np.sort(rng.randint(0, 100, 2)) + [0, 20] for _ in range(n_g)
+        ])  # x1 x2
+        g = np.concatenate([g[:, :1], g[:, :1] + 10, g[:, 1:], g[:, 1:] + 14],
+                           1)[:, [0, 1, 2, 3]]
+        g = np.stack([g[:, 0], g[:, 1], g[:, 2], g[:, 3]], 1).astype(float)
+        # integer-aligned boxes so rectangle masks reproduce box IoU exactly
+        d = np.clip(g[rng.randint(n_g, size=n_d)] +
+                    rng.randint(-8, 8, (n_d, 4)), 0, 120).astype(float)
+        d[:, 2] = np.maximum(d[:, 2], d[:, 0] + 2)
+        d[:, 3] = np.maximum(d[:, 3], d[:, 1] + 2)
+        gl = rng.randint(0, 2, n_g)
+        dl = rng.randint(0, 2, n_d)
+        s = rng.rand(n_d)
+        ev_b.update(g, gl, d, dl, s)
+        ev_s.update(None, gl, None, dl, s,
+                    gt_masks=_boxes_to_masks(g), det_masks=_boxes_to_masks(d))
+    got_b, got_s = ev_b.summarize(), ev_s.summarize()
+    for k in ("AP", "AP50", "AP75"):
+        np.testing.assert_allclose(got_s[k], got_b[k], atol=1e-12)
+
+
+def test_segm_nonrectangular_hand_derived():
+    """One GT L-shaped mask (75 px); detection covers its 50-px half plus
+    25 px outside: IoU = 50/100 = 0.5 exactly -> matched at t=.50 only.
+    AP_t=.50 with 1 TP / 1 gt: rc [1], pr [1] -> AP = 1; other 9
+    thresholds: FP only -> 0. AP = 0.1, AP50 = 1, AP75 = 0."""
+    ev = CocoEvaluator("segm")
+    gt = np.zeros((1, 32, 32), bool)
+    gt[0, 0:10, 0:5] = True   # 50 px
+    gt[0, 0:5, 5:10] = True   # 25 px  (L shape, 75 total)
+    det = np.zeros((1, 32, 32), bool)
+    det[0, 0:10, 0:5] = True    # the 50-px half
+    det[0, 20:25, 20:30] = True  # 50 px far away
+    # inter 50, union 75 + 100 - 50 = 125? -> adjust: make det 100 px with
+    # 50 inside: union = 75 + 100 - 50 = 125, IoU = 0.4. Use det = exactly
+    # the 50-px half plus 25 px outside: area 75, inter 50, union 100.
+    det[:] = False
+    det[0, 0:10, 0:5] = True   # 50 inside
+    det[0, 20:25, 20:25] = True  # 25 outside
+    ev.update(None, [0], None, [0], [0.9], gt_masks=gt, det_masks=det)
+    stats = ev.summarize()
+    np.testing.assert_allclose(stats["AP"], 0.1, atol=1e-12)
+    assert stats["AP50"] == 1.0 and stats["AP75"] == 0.0
+
+
+def test_unknown_iou_type_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="keypoints"):
+        CocoEvaluator("keypoints")

@@ -112,6 +112,52 @@ def test_det_solver_fit_and_val(tmp_path, rng):
     )
 
 
+def test_det_eval_dp2_equals_single_device(tmp_path, rng):
+    """The reference CocoEvaluator merges per-rank eval_imgs across
+    processes before accumulate (R2/src/data/coco/coco_eval.py:26-278).
+    Under SPMD that merge is unnecessary — sharded eval outputs are
+    globally-addressable, every process feeds the full result set —
+    and THIS asserts the equivalence: the dp2-sharded val() summary must
+    equal the single-device one on identical state (VERDICT r3 item 7)."""
+    from satellite_pose_estimation_tpu.core.yaml_config import YAMLConfig
+    from satellite_pose_estimation_tpu.train.det_solver import DetSolver
+
+    root = make_fake_coco(str(tmp_path / "coco"), n_images=6, rng=rng)
+
+    def build_cfg(out):
+        return YAMLConfig(cfg={
+            "task": "detection",
+            "num_classes": 5,
+            "epoches": 1,
+            "output_dir": out,
+            "PResNet": {"depth": 18, "freeze_norm": False},
+            "RTDETRTransformer": {"num_queries": 10,
+                                  "num_decoder_layers": 2},
+            "optimizer": {"lr": 1e-4},
+            "train_dataloader": {"batch_size": 2,
+                                 "dataset": {"resize": 96}},
+            "val_dataloader": {"batch_size": 2, "dataset": {"resize": 96}},
+        })
+
+    # dp2 arm: auto_mesh picks 2 devices for batch 2
+    solver_dp = DetSolver(build_cfg(str(tmp_path / "o1")), data_root=root,
+                          seed=0, max_targets=8)
+    solver_dp._build()
+    assert solver_dp.mesh is not None and solver_dp.mesh.devices.size == 2
+    stats_dp = solver_dp.val(build=False)
+
+    # single-device arm: same seed -> identical init state
+    solver_1 = DetSolver(build_cfg(str(tmp_path / "o2")), data_root=root,
+                         seed=0, max_targets=8, mesh=False)
+    solver_1._build()
+    assert solver_1.mesh is None
+    stats_1 = solver_1.val(build=False)
+
+    for k in ("AP", "AP50", "AP75"):
+        np.testing.assert_allclose(stats_dp[k], stats_1[k], atol=1e-9,
+                                   err_msg=f"dp2 vs single {k}")
+
+
 def test_train_cli_test_only_detection(tmp_path, rng):
     """R2 CLI surface for the det task: -c <yml> --test-only routes through
     TASKS to DetSolver.val and prints the COCO stat dict

@@ -199,6 +199,85 @@ def test_rotate_shear3_keypoint_consistency(rng):
     assert np.linalg.norm(got - expect) < 1.6, (got, expect)
 
 
+def test_rotate_shear3_bmm_matches_shear3(rng):
+    """The batched-matmul 3-shear form (ops/image_warp.rotate_shear3_bmm,
+    the round-4 augment default — 2.1x the binary-shift form on v5e) is
+    pixel-identical to rotate_shear3 except at content edges, where its
+    partial-tap samples are MORE faithful to cv2 BORDER_CONSTANT (the
+    shift form zeroes any sample whose base tap leaves range)."""
+    from satellite_pose_estimation_tpu.ops.image_warp import (
+        rotate_shear3,
+        rotate_shear3_bmm,
+    )
+
+    img = _square_smooth(rng)
+    for cubic in (False, True):
+        for deg in (7.0, -62.0, 89.0):
+            th = jnp.float32(np.deg2rad(deg))
+            a = np.asarray(rotate_shear3(jnp.asarray(img), th, cubic))
+            b = np.asarray(rotate_shear3_bmm(jnp.asarray(img), th, cubic))
+            d = np.abs(a - b)
+            assert np.median(d) < 1e-2, (cubic, deg, np.median(d))
+            # edge-band disagreement only (cubic's 4-tap band is ~2x the
+            # bilinear band on this 128 px test image)
+            cap = 0.05 if cubic else 0.03
+            assert (d > 1.0).mean() < cap, (cubic, deg, (d > 1.0).mean())
+
+
+@pytest.mark.parametrize("deg", [7.0, -30.0, 62.0, -89.0])
+def test_rotate_shear3_bmm_vs_cv2(rng, deg):
+    """Same cv2.warpAffine oracle as the shift form (borderValue 0)."""
+    from satellite_pose_estimation_tpu.ops.image_warp import (
+        rotate_shear3_bmm,
+    )
+
+    img = _square_smooth(rng)
+    S = img.shape[0]
+    c = (S - 1) / 2.0
+    theta = np.deg2rad(deg)
+    ours = np.asarray(
+        rotate_shear3_bmm(jnp.asarray(img), jnp.float32(theta)))
+    M = cv2.getRotationMatrix2D((c, c), -deg, 1.0)
+    ref = cv2.warpAffine(
+        img, M, (S, S), flags=cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_CONSTANT, borderValue=0,
+    )
+    err = np.abs(ours - ref)
+    assert np.median(err) < 2.0, f"median err {np.median(err)}"
+    content = (ref.max(axis=-1) > 0).astype(np.uint8)
+    near = cv2.dilate(content, np.ones((9, 9), np.uint8)) > 0
+    far_out = ~near
+    if far_out.any():
+        assert np.abs(ours[far_out]).max() < 4.0
+
+
+def test_rotate_shear3_bmm_identity_and_keypoints(rng):
+    from satellite_pose_estimation_tpu.ops.image_warp import (
+        rotate_shear3_bmm,
+    )
+
+    img = _square_smooth(rng)
+    out = np.asarray(rotate_shear3_bmm(jnp.asarray(img), jnp.float32(0.0)))
+    np.testing.assert_allclose(out, img, atol=1e-3)
+
+    S = 128
+    dot = np.zeros((S, S, 3), np.float32)
+    kp = np.asarray([88.0, 37.0])
+    dot[int(kp[1]), int(kp[0])] = 255.0
+    dot = cv2.GaussianBlur(dot, (9, 9), 2.0) * 40.0
+    theta = -0.7
+    out = np.asarray(rotate_shear3_bmm(jnp.asarray(dot), jnp.float32(theta)))
+    c = (S - 1) / 2.0
+    rel = kp - c
+    expect = np.asarray([
+        np.cos(theta) * rel[0] - np.sin(theta) * rel[1] + c,
+        np.sin(theta) * rel[0] + np.cos(theta) * rel[1] + c,
+    ])
+    yx = np.unravel_index(np.argmax(out[..., 0]), out[..., 0].shape)
+    got = np.asarray([yx[1], yx[0]], np.float32)
+    assert np.linalg.norm(got - expect) < 1.6, (got, expect)
+
+
 def test_rotate_shear3_cubic_close_to_bilinear(rng):
     from satellite_pose_estimation_tpu.ops.image_warp import rotate_shear3
 

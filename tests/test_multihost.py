@@ -17,7 +17,7 @@ def _free_port():
     return port
 
 
-def _run_once():
+def _run_once(timeout):
     worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
     coordinator = f"127.0.0.1:{_free_port()}"
     env = {k: v for k, v in os.environ.items()
@@ -30,24 +30,35 @@ def _run_once():
         )
         for rank in range(2)
     ]
-    outs = []
+    outs, timed_out = [], False
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=480)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
+            timed_out = True  # our own kill produces returncode -9 below
             p.kill()
             out, _ = p.communicate()
         outs.append(out)
-    return procs, outs
+    return procs, outs, timed_out
 
 
 def test_two_process_global_mesh():
-    procs, outs = _run_once()
-    if any(p.returncode == -9 for p in procs):
-        # SIGKILL = host OOM-killer under concurrent load, not a product
-        # failure mode (the workers are plain jax processes); retry once
-        # before judging.
-        procs, outs = _run_once()
+    """Deflaked (round 4): the historical SIGKILL flake was this test's OWN
+    timeout kill — a cold XLA compile on this 1-core host under concurrent
+    load can exceed the subprocess timeout (the worker now shares the
+    suite's persistent compilation cache, so only the first-ever run is
+    cold). Retries are deterministic: 3 attempts with escalating timeouts,
+    only for timeout/SIGKILL outcomes (real assertion failures surface
+    immediately)."""
+    attempts = []
+    for timeout in (480, 720, 960):
+        procs, outs, timed_out = _run_once(timeout)
+        codes = [p.returncode for p in procs]
+        attempts.append((codes, timed_out))
+        if not timed_out and all(c != -9 for c in codes):
+            break
     for rank, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
+        assert p.returncode == 0, (
+            f"rank {rank} failed (attempts: {attempts}):\n{out[-3000:]}"
+        )
         assert "MULTIHOST_OK" in out, out[-3000:]

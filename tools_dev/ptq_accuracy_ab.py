@@ -26,18 +26,42 @@ os.environ.setdefault("SPE_INT8_SCOPE", "conv,ffn,attn_proj,dec")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# PTQ_AB_TPU=1 runs on the chip (flagship-arch 500-image sweeps are
+# minutes on TPU vs hours on this 1-core host; scores agree — the eval
+# program is the deployment path either way).
+if os.environ.get("PTQ_AB_TPU", "0") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp  # noqa: E402
 
 
-def build_solver(root, out, resize, batch):
+def build_solver(root, out, resize, batch, preset="small", ema=False):
     from satellite_pose_estimation_tpu.core.yaml_config import YAMLConfig
     from satellite_pose_estimation_tpu.train.solver import SpeedSolver
+
+    if preset == "flagship":
+        # R2 headline arch (mirrors synthetic_selfcheck --preset flagship)
+        arch = {
+            "PResNet": {"depth": 50, "variant": "d", "freeze_norm": False,
+                        "return_idx": [1, 2, 3]},
+            "HybridEncoder": {"hidden_dim": 256, "nhead": 8,
+                              "dim_feedforward": 1024, "expansion": 0.5},
+            "RTDETRTransformer": {"num_queries": 30,
+                                  "num_decoder_layers": 3},
+        }
+    else:
+        arch = {
+            "PResNet": {"depth": 18, "freeze_norm": False},
+            "HybridEncoder": {"hidden_dim": 64, "nhead": 4,
+                              "dim_feedforward": 128, "expansion": 0.5},
+            "RTDETRTransformer": {"num_queries": 30,
+                                  "num_decoder_layers": 3},
+        }
 
     # Mirror tools/synthetic_selfcheck.py main() exactly — the checkpoint
     # must load onto an identical state tree.
     cfg = YAMLConfig(cfg={
+        **arch,
         "task": "landmarker",
         "model": "RTDETR",
         "num_classes": 11,
@@ -45,10 +69,7 @@ def build_solver(root, out, resize, batch):
         "checkpoint_step": 10000,
         "log_step": 5,
         "compute_dtype": "float32",
-        "PResNet": {"depth": 18, "freeze_norm": False},
-        "HybridEncoder": {"hidden_dim": 64, "nhead": 4,
-                          "dim_feedforward": 128, "expansion": 0.5},
-        "RTDETRTransformer": {"num_queries": 30, "num_decoder_layers": 3},
+        "use_ema": bool(ema),
         "SetCriterion": {
             "losses": ["labels", "points_uncert"],
             "weight_dict": {"loss_ce": 1, "loss_bbox": 5},
@@ -96,10 +117,17 @@ def build_detr_solver(root, resize, batch):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arch", choices=("rtdetr", "detr"), default="rtdetr")
+    ap.add_argument("--preset", choices=("small", "flagship"),
+                    default="small", help="rtdetr arch preset (must match "
+                    "the synthetic_selfcheck training preset)")
+    ap.add_argument("--ema", action="store_true",
+                    help="checkpoint was trained with ModelEMA")
     ap.add_argument("--root", default="/tmp/synth_long")
     ap.add_argument("--ckpt", default="/tmp/synth_long/out/checkpoint_best")
     ap.add_argument("--resize", type=int, default=128)
     ap.add_argument("--batch", type=int, default=24)
+    ap.add_argument("--json_out", default="",
+                    help="append the result record to this JSON-lines file")
     args = ap.parse_args()
 
     from satellite_pose_estimation_tpu.ops.image_warp import (
@@ -118,7 +146,8 @@ def main():
         solver = build_detr_solver(args.root, args.resize, args.batch)
     else:
         solver = build_solver(args.root, os.path.dirname(args.ckpt),
-                              args.resize, args.batch)
+                              args.resize, args.batch, preset=args.preset,
+                              ema=args.ema)
     solver.resume(args.ckpt)
     solver._build()
 
@@ -171,8 +200,20 @@ def main():
         stats_q = solver.evaluate(epoch=-2)
 
     sf, sq = stats_f[0]["score"], stats_q[0]["score"]
+    n_val = len(solver.val_ds)
     print(f"float score {sf:.4f}  int8-static score {sq:.4f}  "
-          f"drift {sq - sf:+.4f}")
+          f"drift {sq - sf:+.4f}  (val images: {n_val})")
+    if args.json_out:
+        import json
+
+        rec = {
+            "arch": args.arch, "preset": args.preset, "resize": args.resize,
+            "val_images": n_val, "int8_scope": os.environ["SPE_INT8_SCOPE"],
+            "float_score": float(sf), "int8_static_score": float(sq),
+            "drift": float(sq - sf), "ckpt": args.ckpt,
+        }
+        with open(args.json_out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
 
 if __name__ == "__main__":
