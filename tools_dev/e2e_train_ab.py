@@ -24,6 +24,13 @@ Run on CPU (the torch reference is CPU-only in this environment):
 
     python tools_dev/e2e_train_ab.py --root /tmp/synth_r3 \
         --n_train 400 --n_val 100 --epochs 20 --batch 16
+
+``--aug on`` (round 4): each arm trains with ITS OWN augmentation family
+— ours the device-side family (data/augment.py), the torch arm the
+reference albumentations pipeline (R1/datasets/speed.py:306-334)
+reimplemented faithfully in cv2 (reference_aug_numpy; albumentations is
+not installable here). Same init/data/batch orders; this closes the last
+recipe component never compared under training (VERDICT r4 item 4).
 """
 import argparse
 import json
@@ -109,6 +116,97 @@ def precompute_val(samples):
     }
 
 
+def reference_aug_numpy(img, kps, rng, img_size):
+    """cv2/numpy reimplementation of the reference's exact albumentations
+    train pipeline (R1/datasets/speed.py:306-334) for the aug-ON torch
+    arm — albumentations itself is not installed here. Faithful op list,
+    order, probabilities, and parameter ranges:
+
+      HFlip .5 | IAAAffine .1 (DEFAULT params = identity transform — a
+      quirk of the shipped code; imgaug Affine(scale=1, rotate=0, shear=0))
+      | Rotate .4 (+-90, INTER_CUBIC, constant border) | Resize cubic |
+      Blur .3 (limit 3) | OneOf[MotionBlur .2, MedianBlur .1, Blur .1] .2 |
+      IAAAdditiveGaussianNoise .2 (sigma U(0, .05*255)) |
+      JpegCompression(20, 99) .1 | ISONoise .2 (approximated: luminance
+      shot noise + hue-ish color shift per its published algorithm) |
+      Cutout(10 holes, 40x40) .1.
+
+    img: HxWx3 uint8 crop; kps: (K, 2) xy in crop pixels. Returns
+    (img_size x img_size float32 [0,255], kps in resized pixels)."""
+    import cv2
+
+    H, W = img.shape[:2]
+    img = img.copy()
+    kps = kps.astype(np.float64).copy()
+
+    if rng.rand() < 0.5:  # HorizontalFlip
+        img = img[:, ::-1].copy()
+        kps[:, 0] = (W - 1) - kps[:, 0]
+    # IAAAffine(p=.1) with default params: identity — intentionally no-op.
+
+    if rng.rand() < 0.4:  # Rotate(+-90, cubic, constant)
+        ang = rng.uniform(-90, 90)
+        c = ((W - 1) * 0.5, (H - 1) * 0.5)
+        M = cv2.getRotationMatrix2D(c, ang, 1.0)
+        img = cv2.warpAffine(img, M, (W, H), flags=cv2.INTER_CUBIC,
+                             borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+        ones = np.concatenate([kps, np.ones((len(kps), 1))], 1)
+        kps = ones @ M.T
+
+    # Resize (cubic)
+    imgf = cv2.resize(img, (img_size, img_size),
+                      interpolation=cv2.INTER_CUBIC)
+    kps = kps * np.asarray([img_size / W, img_size / H])
+    img = np.clip(imgf, 0, 255).astype(np.uint8)
+
+    if rng.rand() < 0.3:  # Blur(limit 3) -> ksize 3
+        img = cv2.blur(img, (3, 3))
+    if rng.rand() < 0.2:  # OneOf, normalized weights .5/.25/.25
+        u = rng.rand()
+        if u < 0.5:  # MotionBlur (default limit 7 -> ksize in {3,5,7})
+            k = int(rng.choice([3, 5, 7]))
+            kern = np.zeros((k, k), np.float32)
+            ang = rng.uniform(0, np.pi)
+            cx = cy = (k - 1) / 2
+            for t in np.linspace(-cx, cx, 2 * k):
+                x = int(round(cx + t * np.cos(ang)))
+                y = int(round(cy + t * np.sin(ang)))
+                if 0 <= x < k and 0 <= y < k:
+                    kern[y, x] = 1.0
+            kern /= max(kern.sum(), 1)
+            img = cv2.filter2D(img, -1, kern)
+        elif u < 0.75:
+            img = cv2.medianBlur(img, 3)
+        else:
+            img = cv2.blur(img, (3, 3))
+    if rng.rand() < 0.2:  # IAAAdditiveGaussianNoise: sigma U(0, 12.75)
+        sigma = rng.uniform(0, 0.05 * 255)
+        img = np.clip(img + rng.randn(*img.shape) * sigma, 0,
+                      255).astype(np.uint8)
+    if rng.rand() < 0.1:  # JpegCompression(20, 99)
+        q = int(rng.uniform(20, 99))
+        ok, enc = cv2.imencode(
+            ".jpg", img, [int(cv2.IMWRITE_JPEG_QUALITY), q])
+        img = cv2.imdecode(enc, cv2.IMREAD_COLOR)
+    if rng.rand() < 0.2:  # ISONoise(color_shift (.01,.05), intensity (.1,.5))
+        intensity = rng.uniform(0.1, 0.5)
+        color_shift = rng.uniform(0.01, 0.05)
+        x = img.astype(np.float32) / 255.0
+        luma = x.mean(-1, keepdims=True)
+        # Poisson shot noise on luminance + random hue-direction shift
+        shot = rng.poisson(np.clip(luma, 0, 1) * 255.0) / 255.0 - luma
+        shift = rng.randn(1, 1, 3) * color_shift
+        x = np.clip(x + intensity * shot + shift * luma, 0, 1)
+        img = (x * 255).astype(np.uint8)
+    if rng.rand() < 0.1:  # Cutout(10, 40, 40)
+        for _ in range(10):
+            cx = rng.randint(0, img_size)
+            cy = rng.randint(0, img_size)
+            h2, w2 = 20, 20
+            img[max(cy - h2, 0):cy + h2, max(cx - w2, 0):cx + w2] = 0
+    return img.astype(np.float32), kps
+
+
 def make_scorer(val):
     """Shared eval tail: raw (logits, points, log-sigmas) -> mean SPEED
     score, exactly the make_eval_step math (train/steps.py:126-210)."""
@@ -162,7 +260,11 @@ def build_torch():
     return TorchRTDETR(backbone=backbone, encoder=encoder, decoder=decoder)
 
 
-def run_torch(sd, tr, val, orders, scorer, epochs, batch):
+def run_torch(sd, tr, val, orders, scorer, epochs, batch, aug_data=None):
+    """``aug_data``: aug-ON mode (VERDICT r4 item 4) — dict of raw packed
+    buffers; each batch re-crops from the buffer and runs the
+    reference_aug_numpy albumentations family host-side, exactly like the
+    reference dataloader (R1/datasets/speed.py __getitem__ + transforms)."""
     import torch
 
     from tests._r2_reference import load_r2_modules
@@ -170,6 +272,24 @@ def run_torch(sd, tr, val, orders, scorer, epochs, batch):
     load_r2_modules()
     from src.zoo.rtdetr.matcher import HungarianMatcher
     from src.zoo.rtdetr.rtdetr_criterion import SetCriterion
+
+    MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+    STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+    aug_rng = np.random.RandomState(777)
+
+    def aug_batch_np(idxs):
+        xs, kps_n = [], []
+        for j in idxs:
+            bb = aug_data["clip_bbox_buf"][j]
+            x1, y1, x2, y2 = [int(round(v)) for v in bb]
+            crop = aug_data["image"][j][y1:y2, x1:x2]
+            kp = aug_data["landmarks_buf"][j] - np.asarray(
+                [bb[0], bb[1]], np.float64)
+            im, kp2 = reference_aug_numpy(crop, kp, aug_rng, SIZE)
+            xs.append((im / 255.0 - MEAN) / STD)
+            kps_n.append(kp2 / SIZE)
+        return (np.stack(xs).astype(np.float32),
+                np.stack(kps_n).astype(np.float32))
 
     model = build_torch()
     model.load_state_dict({k: torch.from_numpy(v.copy()) for k, v in
@@ -193,12 +313,22 @@ def run_torch(sd, tr, val, orders, scorer, epochs, batch):
         model.train(); criterion.train()
         ep_loss = []
         for idxs in orders[ep]:
-            x = torch.from_numpy(crops[idxs].transpose(0, 3, 1, 2))
-            targets = [
-                {"labels": torch.from_numpy(labels[j].astype(np.int64)),
-                 "landmarks": torch.from_numpy(kps[j].astype(np.float32))}
-                for j in idxs
-            ]
+            if aug_data is not None:
+                x_np, kp_np = aug_batch_np(idxs)
+                x = torch.from_numpy(x_np.transpose(0, 3, 1, 2))
+                targets = [
+                    {"labels": torch.from_numpy(
+                        labels[j].astype(np.int64)),
+                     "landmarks": torch.from_numpy(kp_np[i])}
+                    for i, j in enumerate(idxs)
+                ]
+            else:
+                x = torch.from_numpy(crops[idxs].transpose(0, 3, 1, 2))
+                targets = [
+                    {"labels": torch.from_numpy(labels[j].astype(np.int64)),
+                     "landmarks": torch.from_numpy(kps[j].astype(np.float32))}
+                    for j in idxs
+                ]
             outputs = model(x, targets)
             loss_dict = criterion(outputs, targets)
             loss_dict.pop("class_error", None)
@@ -225,7 +355,10 @@ def run_torch(sd, tr, val, orders, scorer, epochs, batch):
 
 # ----------------------------------------------------------------- our arm
 
-def run_ours(sd, tr, val, orders, scorer, epochs, batch):
+def run_ours(sd, tr, val, orders, scorer, epochs, batch, aug_data=None):
+    """``aug_data``: aug-ON mode — feed raw packed buffers and let the
+    production train step run its own device-side augment family
+    (data/augment.py), the shipped training path."""
     from satellite_pose_estimation_tpu.losses.criterion import CriterionConfig
     from satellite_pose_estimation_tpu.models.rtdetr import (
         RTDETR,
@@ -263,17 +396,22 @@ def run_ours(sd, tr, val, orders, scorer, epochs, batch):
         opt_state=tx.init(params), ema_params=None, ema_batch_stats=None,
         tx=tx, apply_fn=model.apply)
 
-    # identical inputs: the batch carries the precomputed crop + normalized
-    # keypoints; the augment hook passes them through untouched
+    # aug-off: identical inputs — the batch carries the precomputed crop +
+    # normalized keypoints and the augment hook passes them through
+    # untouched. aug-on: raw buffers through the real device augment.
     orig = steps_module.augment_batch
-    steps_module.augment_batch = lambda rng, img, bb, lm, cfg: (img, lm)
+    if aug_data is None:
+        steps_module.augment_batch = lambda rng, img, bb, lm, cfg: (img, lm)
     try:
         crit_cfg = CriterionConfig(
             num_classes=C, eos_coef=1e-4, cost_class=2.0, cost_pts=5.0,
             point_loss="uncert", weight_ce=1.0, weight_points=5.0,
             use_focal=True)
+        from satellite_pose_estimation_tpu.data.augment import AugmentConfig
+
         train_step = steps_module.make_train_step(
-            crit_cfg, TrainConfig(use_ema=False))
+            crit_cfg, TrainConfig(use_ema=False),
+            AugmentConfig(out_size=SIZE, interp="cubic"))
 
         crops, kps, labels = tr
         zeros_bb = np.zeros((batch, 4), np.float32)
@@ -293,12 +431,22 @@ def run_ours(sd, tr, val, orders, scorer, epochs, batch):
         for ep in range(epochs):
             ep_loss = []
             for idxs in orders[ep]:
-                dev_batch = {
-                    "image": jnp.asarray(crops[idxs]),
-                    "clip_bbox_buf": jnp.asarray(zeros_bb[:len(idxs)]),
-                    "landmarks_buf": jnp.asarray(kps[idxs]),
-                    "labels": jnp.asarray(labels[idxs]),
-                }
+                if aug_data is not None:
+                    dev_batch = {
+                        "image": jnp.asarray(aug_data["image"][idxs]),
+                        "clip_bbox_buf": jnp.asarray(
+                            aug_data["clip_bbox_buf"][idxs]),
+                        "landmarks_buf": jnp.asarray(
+                            aug_data["landmarks_buf"][idxs]),
+                        "labels": jnp.asarray(labels[idxs]),
+                    }
+                else:
+                    dev_batch = {
+                        "image": jnp.asarray(crops[idxs]),
+                        "clip_bbox_buf": jnp.asarray(zeros_bb[:len(idxs)]),
+                        "landmarks_buf": jnp.asarray(kps[idxs]),
+                        "labels": jnp.asarray(labels[idxs]),
+                    }
                 rng, k = jax.random.split(rng)
                 state, loss_dict = train_step(state, dev_batch, k)
                 ep_loss.append(float(loss_dict["loss_total"]))
@@ -326,6 +474,10 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--arm", choices=("both", "torch", "ours"),
                     default="both")
+    ap.add_argument("--aug", choices=("off", "on"), default="off",
+                    help="on = each arm runs ITS OWN augmentation family "
+                    "(ours device-side vs the reference albumentations "
+                    "pipeline reimplemented in cv2) — VERDICT r4 item 4")
     ap.add_argument("--out", default="/tmp/e2e_ab.json")
     args = ap.parse_args()
 
@@ -335,6 +487,15 @@ def main():
     tr = precompute_train(tr_samples)
     val = precompute_val(val_samples)
     scorer = make_scorer(val)
+    aug_data = None
+    if args.aug == "on":
+        aug_data = {
+            "image": np.stack([s["image"] for s in tr_samples]),
+            "clip_bbox_buf": np.stack(
+                [s["clip_bbox_buf"] for s in tr_samples]),
+            "landmarks_buf": np.stack(
+                [s["landmarks_buf"] for s in tr_samples]),
+        }
     print(f"preprocessed {len(tr_samples)} train / {len(val_samples)} val "
           f"in {time.time() - t0:.0f}s", flush=True)
 
@@ -354,19 +515,21 @@ def main():
                  for i in range(0, n - args.batch + 1, args.batch)]
         orders.append(steps)
 
-    result = {"epochs": args.epochs, "batch": args.batch,
+    result = {"epochs": args.epochs, "batch": args.batch, "aug": args.aug,
               "n_train": len(tr_samples), "n_val": len(val_samples)}
     if args.arm in ("both", "ours"):
         t = time.time()
         f_scores, f_losses = run_ours(sd, tr, val, orders, scorer,
-                                      args.epochs, args.batch)
+                                      args.epochs, args.batch,
+                                      aug_data=aug_data)
         result["ours"] = {"scores": f_scores, "losses": f_losses,
                           "best": min(f_scores),
                           "wall_s": round(time.time() - t, 1)}
     if args.arm in ("both", "torch"):
         t = time.time()
         t_scores, t_losses = run_torch(sd, tr, val, orders, scorer,
-                                       args.epochs, args.batch)
+                                       args.epochs, args.batch,
+                                       aug_data=aug_data)
         result["torch"] = {"scores": t_scores, "losses": t_losses,
                            "best": min(t_scores),
                            "wall_s": round(time.time() - t, 1)}
