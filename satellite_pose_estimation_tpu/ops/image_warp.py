@@ -22,6 +22,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
 IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
@@ -366,6 +367,103 @@ def rotate_shear3_bmm(image, theta, cubic=False):
 
     s3 = pad - a * (y - c)
     return _shear_rows_bmm(out2, s3, S, cubic)  # (S, S, C)
+
+
+def _dft_mats(P):
+    """Real (cos, sin) DFT matrices of size P (constants, folded by XLA)."""
+    k = np.arange(P)
+    ang = 2.0 * np.pi * np.outer(k, k) / P
+    return (jnp.asarray(np.cos(ang), jnp.float32),
+            jnp.asarray(np.sin(ang), jnp.float32))
+
+
+def _shift_rows_fft(rows, m, P, precision):
+    """EXACT per-row integer circular shift via DFT phase multiply:
+    out[r, x] = rows[r, (x + m_r) mod P]. Four (R, P) @ (P, P) real
+    matmuls — full-lane MXU work regardless of channel count (the
+    per-row-matrix bmm form is N=3-bound). Integer shifts are exact
+    under the DFT (no sinc ringing); callers zero-pad the canvas so the
+    circular wrap only ever reads zeros."""
+    C, S = _dft_mats(P)
+    mm = lambda a, b: jnp.matmul(a, b, precision=precision)
+    xre = mm(rows, C)
+    xim = -mm(rows, S)
+    k = jnp.arange(P, dtype=jnp.float32)
+    theta = (2.0 * np.pi / P) * m[:, None] * k[None, :]
+    pc, ps = jnp.cos(theta), jnp.sin(theta)
+    yre = xre * pc - xim * ps
+    yim = xre * ps + xim * pc
+    return (mm(yre, C) - mm(yim, S)) / P
+
+
+def _shear_rows_fft(arr, shift, out_len, P, cubic, precision):
+    """_shear_rows semantics (out[r, w] = arr[r, w + shift[r]], constant-0
+    border) as static-tap blend + DFT integer shift. ``arr`` (R, Win) is
+    zero-embedded into a (R, P) canvas with P >= Win + max|shift| so the
+    circular wrap reads zeros only."""
+    R, Win = arr.shape
+    m = jnp.floor(shift)
+    t = (shift - m).astype(jnp.float32)
+    canvas = jnp.pad(arr, ((0, 0), (0, P - Win)))
+    if cubic:
+        w = _cubic_weights(t)  # (R, 4) taps at floor offsets (-1, 0, 1, 2)
+        rolled = [jnp.roll(canvas, -(j - 1), axis=1) for j in range(4)]
+        blend = sum(w[:, j, None] * rolled[j] for j in range(4))
+    else:
+        blend = (1.0 - t)[:, None] * canvas + t[:, None] * jnp.roll(
+            canvas, -1, axis=1)
+    out = _shift_rows_fft(blend, m.astype(jnp.float32), P, precision)
+    return out[:, :out_len]
+
+
+def rotate_shear3_fft(image, theta, cubic=False,
+                      precision=jax.lax.Precision.HIGHEST):
+    """Paeth 3-shear rotation with each shear's per-row integer shift done
+    as a DFT phase multiply — all heavy work is full-lane (P=2S) matmuls
+    against shared DFT constants, sidestepping the bmm form's N=3 lane
+    cap. Same widened-canvas sampling semantics as rotate_shear3/..._bmm
+    (taps outside read zero; |theta| <= pi/2). Interpolation is exact
+    bilinear/cubic: fractional taps blend BEFORE the shift, and integer
+    circular shifts are exact under the DFT, so the only deviation is
+    matmul rounding (HIGHEST-precision f32 passes keep it ~1e-2 pixel on
+    a 0..255 image). Measured: see PERF.md round-4 (tools_dev/
+    rotate_bmm_ab.py --fft)."""
+    Simg = image.shape[0]
+    C3 = image.shape[2]
+    img = image.astype(jnp.float32)
+    c = (Simg - 1.0) / 2.0
+    a = -jnp.tan(theta / 2.0)
+    b = jnp.sin(theta)
+    pad = (Simg + 1) // 2
+    Wp = Simg + 2 * pad
+    P = Wp  # 2S(+1 parity): covers Win + max|shift| for every shear
+    y = jnp.arange(Simg, dtype=jnp.float32)
+
+    def fold(x):  # (R, W, C) -> (C*R, W): channels ride the matmul batch
+        return x.transpose(2, 0, 1).reshape(-1, x.shape[1])
+
+    def unfold(x, R):  # (C*R, W) -> (R, W, C)
+        return x.reshape(C3, R, -1).transpose(1, 2, 0)
+
+    # shear 1 (x): rows S, widths S -> Wp
+    s1 = -pad - a * (y - c)
+    out1 = unfold(
+        _shear_rows_fft(fold(img), jnp.tile(s1, C3), Wp, P, cubic,
+                        precision), Simg)  # (S, Wp, C)
+
+    # shear 2 (y): per-column shift; columns padded S -> P
+    xp = jnp.arange(Wp, dtype=jnp.float32)
+    s2 = -b * (xp - (c + pad))
+    out2 = unfold(
+        _shear_rows_fft(fold(out1.transpose(1, 0, 2)), jnp.tile(s2, C3),
+                        Simg, P, cubic, precision), Wp
+    ).transpose(1, 0, 2)  # (S, Wp, C)
+
+    # shear 3 (x): widths Wp -> S
+    s3 = pad - a * (y - c)
+    return unfold(
+        _shear_rows_fft(fold(out2), jnp.tile(s3, C3), Simg, P, cubic,
+                        precision), Simg)  # (S, S, C)
 
 
 def _axis_weight_matrix(out_size, c0, c1, extent):

@@ -122,6 +122,32 @@ def main():
     timeit("rotate_shear3_bmm widened f32 CUBIC",
            lambda im: f(im, thetas), [(im,) for im in imgs])
 
+    # DFT-shift form (ops/image_warp.rotate_shear3_fft): full-lane matmuls
+    from satellite_pose_estimation_tpu.ops.image_warp import (
+        rotate_shear3_fft,
+    )
+
+    for prec, label in ((jax.lax.Precision.HIGHEST, "HIGHEST"),
+                        (jax.lax.Precision.HIGH, "HIGH"),
+                        (jax.lax.Precision.DEFAULT, "DEFAULT")):
+        f = jax.jit(jax.vmap(
+            lambda im, th: rotate_shear3_fft(im, th, False, prec)))
+        timeit(f"rotate_shear3_fft prec={label}",
+               lambda im, f=f: f(im, thetas), [(im,) for im in imgs])
+        # on-device error vs the bmm reference (precision semantics differ
+        # on TPU vs CPU — measure where it runs)
+        ref = jax.jit(jax.vmap(
+            lambda im, th: rotate_shear3_bmm(im, th, False)))(
+            imgs[0], thetas)
+        got = f(imgs[0])
+        d = jnp.abs(ref - got)
+        print(f"  err vs bmm: median={float(jnp.median(d)):.4f} "
+              f"max={float(jnp.max(d)):.3f}", flush=True)
+    f = jax.jit(jax.vmap(
+        lambda im, th: rotate_shear3_fft(im, th, True)))
+    timeit("rotate_shear3_fft HIGHEST CUBIC",
+           lambda im: f(im, thetas), [(im,) for im in imgs])
+
 
 if __name__ == "__main__":
     main()
