@@ -133,13 +133,14 @@ def main():
         f = jax.jit(jax.vmap(
             lambda im, th: rotate_shear3_fft(im, th, False, prec)))
         timeit(f"rotate_shear3_fft prec={label}",
-               lambda im, f=f: f(im, thetas), [(im,) for im in imgs])
+               lambda im, th, f=f: f(im, th),
+               [(im, thetas) for im in imgs])
         # on-device error vs the bmm reference (precision semantics differ
         # on TPU vs CPU — measure where it runs)
         ref = jax.jit(jax.vmap(
             lambda im, th: rotate_shear3_bmm(im, th, False)))(
             imgs[0], thetas)
-        got = f(imgs[0])
+        got = f(imgs[0], thetas)
         d = jnp.abs(ref - got)
         print(f"  err vs bmm: median={float(jnp.median(d)):.4f} "
               f"max={float(jnp.max(d)):.3f}", flush=True)
