@@ -205,7 +205,12 @@ class CocoEvaluator:
                     if best >= 0:
                         taken[ti, best] = True
                         match[ti] = True
-                self.dets[cat].append((float(s[di]), match))
+                # di is the per-image per-category score rank: greedy
+                # score-order matching means the matches of the first k
+                # dets ARE the matches of a k-capped run, so AR@k slices
+                # by rank (pycocotools accumulate() slices dtMatches the
+                # same way)
+                self.dets[cat].append((float(s[di]), match, di))
 
     def _ap_per_cat(self, cat) -> np.ndarray:
         entries = sorted(self.dets[cat], key=lambda e: -e[0])
@@ -215,7 +220,7 @@ class CocoEvaluator:
             return np.full(T, np.nan)
         if not entries:
             return np.zeros(T)
-        matches = np.stack([m for _, m in entries])  # (D, T)
+        matches = np.stack([m for _, m, _ in entries])  # (D, T)
         tp = np.cumsum(matches, axis=0)
         fp = np.cumsum(~matches, axis=0)
         recall = tp / n_gt
@@ -237,6 +242,21 @@ class CocoEvaluator:
             ap[ti] = float(np.mean(q))
         return ap
 
+    def _ar_per_cat(self, cat, k) -> float:
+        """Final recall with per-image detections capped at k, averaged
+        over the IoU thresholds (pycocotools accumulate(): recall[t] is
+        tp/npig after ALL top-k dets — det order is irrelevant to the
+        final count)."""
+        n_gt = self.n_gt[cat]
+        if n_gt == 0:
+            return np.nan
+        T = len(self.IOU_THRESHOLDS)
+        tp = np.zeros(T)
+        for _, match, rank in self.dets[cat]:
+            if rank < k:
+                tp += match
+        return float(np.mean(tp / n_gt))
+
     def summarize(self) -> dict:
         cats = sorted(set(self.n_gt) | set(self.dets))
         aps = np.stack([self._ap_per_cat(c) for c in cats]) if cats else \
@@ -247,8 +267,17 @@ class CocoEvaluator:
             "AP50": float(mean_ap[0]),
             "AP75": float(mean_ap[5]),
         }
+        # AR@{1,10,100}: the reference CocoEvaluator's pycocotools stats
+        # row carries these (cocoeval summarize() rows 6-8); area-range
+        # variants (APs/m/l, ARs/m/l) are not computed — SPEED-task
+        # objects are single-instance and the det selfcheck uses one
+        # scale, so every object falls in areaRng 'all'.
+        for k in (1, 10, 100):
+            ars = [self._ar_per_cat(c, k) for c in cats]
+            stats[f"AR{k}"] = float(np.nanmean(ars)) if cats else 0.0
         print(
             "COCO bbox eval: AP {AP:.4f} | AP50 {AP50:.4f} | "
-            "AP75 {AP75:.4f}".format(**stats)
+            "AP75 {AP75:.4f} | AR@1 {AR1:.4f} | AR@10 {AR10:.4f} | "
+            "AR@100 {AR100:.4f}".format(**stats)
         )
         return stats

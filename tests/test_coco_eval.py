@@ -115,6 +115,7 @@ def _oracle_coco_ap(images):
         cats |= set(int(x) for x in g_l) | set(int(x) for x in d_l)
 
     per_cat_ap = []
+    per_cat_ar = {1: [], 10: [], 100: []}
     for cat in sorted(cats):
         # evaluateImg per image: greedy match per threshold
         records = []  # (score, img_idx, order_idx, matched_per_t)
@@ -176,12 +177,25 @@ def _oracle_coco_ap(images):
                 q.append(pr[idx] if idx is not None else 0.0)
             aps.append(float(np.mean(q)))
         per_cat_ap.append(aps)
+        # AR@k: final recall with per-image dets capped at k (accumulate()
+        # slices dtMatches columns [0:k]; greedy score-order matching makes
+        # that identical to re-matching with k dets), mean over thresholds
+        for k in (1, 10, 100):
+            tp_t = [0] * len(iou_thrs)
+            for sc, img_i, oi, matched in records:
+                if oi < k:
+                    for ti, m in enumerate(matched):
+                        tp_t[ti] += int(m)
+            per_cat_ar[k].append(float(np.mean([t / npig for t in tp_t])))
     arr = np.asarray(per_cat_ap)
-    return {
+    out = {
         "AP": float(arr.mean()),
         "AP50": float(arr[:, 0].mean()),
         "AP75": float(arr[:, 5].mean()),
     }
+    for k in (1, 10, 100):
+        out[f"AR{k}"] = float(np.mean(per_cat_ar[k]))
+    return out
 
 
 def test_fuzz_matches_independent_oracle():
@@ -222,7 +236,7 @@ def test_fuzz_matches_independent_oracle():
             ev.update(g_b, g_l, d_b, d_l, s)
         want = _oracle_coco_ap(images)
         got = ev.summarize()
-        for k in ("AP", "AP50", "AP75"):
+        for k in ("AP", "AP50", "AP75", "AR1", "AR10", "AR100"):
             np.testing.assert_allclose(
                 got[k], want[k], atol=1e-10,
                 err_msg=f"trial {trial}: {k} deviates from protocol oracle",
