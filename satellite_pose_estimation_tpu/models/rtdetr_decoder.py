@@ -287,6 +287,15 @@ class RTDETRTransformer(nn.Module):
         # task, so a plain normal init stands in for padding_idx.
         dn_meta = None
         attn_mask = None
+        if train and self.num_denoising > 0 and targets is None:
+            # the round-3 failure mode was num_denoising silently no-oping;
+            # a dn-configured model trained without targets must FAIL, not
+            # quietly drop the capability (train/steps.py and det_solver
+            # pass targets whenever the config enables CDN)
+            raise ValueError(
+                "num_denoising > 0 requires `targets` in training "
+                "(labels + points) — pass them through the train step or "
+                "set num_denoising: 0")
         if train and self.num_denoising > 0 and targets is not None:
             from .denoising import build_denoising_group
 

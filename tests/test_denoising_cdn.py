@@ -184,7 +184,10 @@ def _small_rtdetr(num_denoising):
 
 def test_matching_queries_invariant_under_cdn(rng):
     """The block mask means matching-query outputs with CDN enabled equal
-    the same params' outputs with the dn branch skipped (targets=None)."""
+    a num_denoising=0 twin's outputs on the SAME params (minus the dn
+    embedding table, which only dn queries touch)."""
+    import pytest
+
     model = _small_rtdetr(num_denoising=22)
     img = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
     labels = jnp.asarray(rng.randint(0, 11, (2, T)), jnp.int32)
@@ -202,8 +205,25 @@ def test_matching_queries_invariant_under_cdn(rng):
               "dropout": jax.random.PRNGKey(4)},
         mutable=["batch_stats"],
     )
-    out_plain, _ = model.apply(
-        variables, img, train=True, targets=None,
+    # a dn-configured model trained WITHOUT targets must fail loudly —
+    # the silent no-op was VERDICT r3's complaint (#36)
+    with pytest.raises(ValueError, match="num_denoising"):
+        model.apply(variables, img, train=True, targets=None,
+                    rngs={"dropout": jax.random.PRNGKey(4)},
+                    mutable=["batch_stats"])
+
+    # num_denoising=0 twin on the same weights (module tree is identical
+    # apart from the dn table, which only dn queries consume)
+    model0 = _small_rtdetr(num_denoising=0)
+    import copy
+
+    params0 = copy.deepcopy(jax.tree_util.tree_map(lambda x: x,
+                                                   dict(variables["params"])))
+    params0["decoder"] = dict(params0["decoder"])
+    params0["decoder"].pop("denoising_class_embed")
+    out_plain, _ = model0.apply(
+        {"params": params0, "batch_stats": variables["batch_stats"]},
+        img, train=True, targets=None,
         rngs={"dropout": jax.random.PRNGKey(4)},
         mutable=["batch_stats"],
     )
