@@ -59,23 +59,37 @@ def _host_pipeline_rates(root, eval_step, state, batch_size, jax):
 
     results = {}
     n_timed = int(_os.environ.get("BENCH_HOST_IMAGES", "512"))
+    saved_cache_env = _os.environ.get("SPE_DECODE_CACHE")
+    try:
+        # Untimed warm-up on one batch: the slimmed 3-key batch structure
+        # retraces eval_step once; that compile must not be billed to the
+        # decode-cold pass.
+        _os.environ["SPE_DECODE_CACHE"] = "0"
+        ds_warmup = SpeedTrainDataset(
+            root, ann_file="wz_train.json", index_file="train_s.txt",
+            train=False, pack_size=pack)
+        run_pass(ds_warmup, batch_size)
 
-    # cold: decode cache disabled — every frame decodes on the host
-    _os.environ["SPE_DECODE_CACHE"] = "0"
-    ds_cold = SpeedTrainDataset(
-        root, ann_file="wz_train.json", index_file="train_s.txt",
-        train=False, pack_size=pack)
-    results["host_cold_imgs_per_sec"] = round(
-        run_pass(ds_cold, n_timed), 2)
+        # cold: decode cache disabled — every frame decodes on the host
+        ds_cold = SpeedTrainDataset(
+            root, ann_file="wz_train.json", index_file="train_s.txt",
+            train=False, pack_size=pack)
+        results["host_cold_imgs_per_sec"] = round(
+            run_pass(ds_cold, n_timed), 2)
 
-    # warm: fill the cache with one untimed pass, then measure
-    _os.environ["SPE_DECODE_CACHE"] = "2048"
-    ds_warm = SpeedTrainDataset(
-        root, ann_file="wz_train.json", index_file="train_s.txt",
-        train=False, pack_size=pack)
-    run_pass(ds_warm, n_timed)
-    results["host_warm_imgs_per_sec"] = round(
-        run_pass(ds_warm, n_timed), 2)
+        # warm: fill the cache with one untimed pass, then measure
+        _os.environ["SPE_DECODE_CACHE"] = "2048"
+        ds_warm = SpeedTrainDataset(
+            root, ann_file="wz_train.json", index_file="train_s.txt",
+            train=False, pack_size=pack)
+        run_pass(ds_warm, n_timed)
+        results["host_warm_imgs_per_sec"] = round(
+            run_pass(ds_warm, n_timed), 2)
+    finally:
+        if saved_cache_env is None:
+            _os.environ.pop("SPE_DECODE_CACHE", None)
+        else:
+            _os.environ["SPE_DECODE_CACHE"] = saved_cache_env
     return results
 
 
@@ -306,12 +320,19 @@ def main():
         # (NB: the reference number is HOST-INCLUSIVE — see module
         # docstring; BENCH_HOST=1 measures the comparable pipeline here.)
 
-        if os.environ.get("BENCH_HOST", "0") == "1":
+        # Host-inclusive pipeline keys ride in the SAME artifact whenever a
+        # rendered dataset is present (VERDICT r4 item 6: the headline JSON
+        # should self-contain its host-side caveat numbers instead of
+        # leaving them in PERF.md prose). BENCH_HOST=0 disables; =1 forces
+        # (warning if the dataset is missing); unset = auto.
+        host_mode = os.environ.get("BENCH_HOST", "auto")
+        if host_mode != "0":
             root = os.environ.get("BENCH_DATA_ROOT", "/tmp/synth_r4")
             ann = os.path.join(root, "annos/wz_train.json")
             if not os.path.exists(ann):
-                print(f"BENCH_HOST: no dataset at {root}; skipping",
-                      file=sys.stderr)
+                if host_mode == "1":
+                    print(f"BENCH_HOST: no dataset at {root}; skipping",
+                          file=sys.stderr)
             else:
                 with qctx():
                     host = _host_pipeline_rates(

@@ -272,10 +272,14 @@ class RTDETRTransformer(nn.Module):
         enc_topk_logits = gather(enc_logits)
 
         if self.learnt_init_query:
-            tgt_embed = self.param(
-                "tgt_embed", nn.initializers.xavier_uniform(),
-                (self.num_queries, self.hidden_dim),
-            )
+            # nn.Embed so the param path (tgt_embed/embedding) mirrors the
+            # torch nn.Embedding attribute (reference rtdetr_decoder.py:455)
+            # for both checkpoint-converter directions.
+            tgt_embed = nn.Embed(
+                self.num_queries, self.hidden_dim,
+                embedding_init=nn.initializers.xavier_uniform(),
+                name="tgt_embed",
+            )(jnp.arange(self.num_queries))
             target = jnp.tile(tgt_embed[None], (B, 1, 1)).astype(cfg_dtype)
         else:
             target = jax.lax.stop_gradient(gather(out_mem))
@@ -299,10 +303,14 @@ class RTDETRTransformer(nn.Module):
         if train and self.num_denoising > 0 and targets is not None:
             from .denoising import build_denoising_group
 
-            dn_table = self.param(
-                "denoising_class_embed", nn.initializers.normal(1.0),
-                (self.num_classes + 1, self.hidden_dim),
-            )
+            # nn.Embed for the same converter-path reason as tgt_embed
+            # (torch: nn.Embedding(num_classes+1, hidden), reference
+            # rtdetr_decoder.py:448).
+            dn_table = nn.Embed(
+                self.num_classes + 1, self.hidden_dim,
+                embedding_init=nn.initializers.normal(1.0),
+                name="denoising_class_embed",
+            )(jnp.arange(self.num_classes + 1))
             dn_embed, dn_points_unact, attn_mask, dn_meta = \
                 build_denoising_group(
                     self.make_rng("denoising"),

@@ -59,9 +59,17 @@ class _Attention(nn.Module):
             features=(self.nhead, head_dim), dtype=self.dtype,
             name=f"mha_{name}",
         )(x)
-        qh = proj("query", q).transpose(0, 2, 1, 3)  # (B, H, T, D)
-        kh = proj("key", k).transpose(0, 2, 1, 3)
-        vh = proj("value", v).transpose(0, 2, 1, 3)
+        # Under a tp_activation_sharding context (parallel/tp.py), pin the
+        # projected tensors to the (batch x head) layout the TP param map
+        # implies — without this GSPMD resolves the decoder cross-attn
+        # k/v to batch-sharded-only and pays an involuntary full
+        # rematerialization at the head-sharded consumer.
+        from ..parallel.tp import constrain_heads
+
+        qh = constrain_heads(
+            proj("query", q).transpose(0, 2, 1, 3), 1)  # (B, H, T, D)
+        kh = constrain_heads(proj("key", k).transpose(0, 2, 1, 3), 1)
+        vh = constrain_heads(proj("value", v).transpose(0, 2, 1, 3), 1)
 
         needs_dropout = self.dropout > 0.0 and not deterministic
         impl = self.impl if not needs_dropout else "xla"
@@ -105,7 +113,7 @@ class _Attention(nn.Module):
             p = nn.Dropout(self.dropout)(p, deterministic=deterministic)
             out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(vh.dtype), vh)
 
-        out = out.transpose(0, 2, 1, 3)  # (B, T, H, D)
+        out = constrain_heads(out.transpose(0, 2, 1, 3), 2)  # (B, T, H, D)
         return DG(
             features=self.d_model, axis=(-2, -1), dtype=self.dtype,
             name="mha_out",

@@ -133,7 +133,13 @@ def args_to_config(args) -> YAMLConfig:
 def main(args):
     cfg = args_to_config(args)
     solver = SpeedSolver(cfg, data_root=args.data_root, seed=args.seed)
-    if args.resume:
+    if args.resume and args.resume.endswith(".pth"):
+        # Torch checkpoint surgery (the reference triggers this on the
+        # public DETR-R50 filename, R1/main.py:265-271): take
+        # backbone/transformer/input_proj/query_embed with slice
+        # adaptation, keep our keypoint heads at init.
+        solver.surgery(args.resume)
+    elif args.resume:
         solver.resume(args.resume)
     if args.eval:
         stats, _ = solver.val()

@@ -83,7 +83,8 @@ def build_config(args) -> dict:
         "use_ema": True,
         "compute_dtype": args.dtype,
         "PResNet": {"depth": 18, "freeze_norm": False},
-        "RTDETRTransformer": {"num_queries": 12, "num_decoder_layers": 2},
+        "RTDETRTransformer": {"num_queries": 12, "num_decoder_layers": 2,
+                              "num_denoising": args.num_denoising},
         "optimizer": {"lr": args.lr},
         "train_dataloader": {
             "batch_size": args.batch,
@@ -131,5 +132,8 @@ if __name__ == "__main__":
     parser.add_argument("--lr", type=float, default=2e-4)
     parser.add_argument("--dtype", default="float32")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--num_denoising", type=int, default=0,
+                        help="CDN groups for a det-task denoising A/B "
+                        "(R2/src/zoo/rtdetr/denoising.py:10-146)")
     parser.add_argument("--rerender", action="store_true")
     main(parser.parse_args())

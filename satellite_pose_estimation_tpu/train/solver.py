@@ -157,6 +157,23 @@ class CheckpointMixin:
     def tuning(self, path: str):
         self._tuning_path = path
 
+    def surgery(self, path: str):
+        """Defer a torch-.pth surgery load (public DETR-R50 semantics,
+        R1/main.py:20-87) to after _build creates the state."""
+        self._surgery_path = path
+
+    def _load_surgery(self, path: str):
+        from ..utils.checkpoint_convert import (
+            load_torch_checkpoint,
+            surgery_detr_pretrained,
+        )
+
+        sd = load_torch_checkpoint(path)
+        params, stats = surgery_detr_pretrained(
+            sd, self.state.params, self.state.batch_stats)
+        self.state = self.state.replace(params=params, batch_stats=stats)
+        print(f"surgery-loaded torch checkpoint {path}")
+
 
 class SpeedSolver(CheckpointMixin):
     """Landmarker-task solver (SPEED keypoints -> pose)."""
@@ -218,6 +235,10 @@ class SpeedSolver(CheckpointMixin):
                 params, steps_per_epoch, frozen_prefixes=frozen
             ),
         )
+
+        if getattr(self, "_surgery_path", None):
+            # before replicate_tree so the merged tree gets placed normally
+            self._load_surgery(self._surgery_path)
 
         if self.mesh is None:
             # Largest device count that divides both batch sizes (and keep

@@ -124,7 +124,10 @@ def create_train_state(model, rng, sample_input, cfg: TrainConfig,
         # CDN decoders create denoising params only when the dn branch is
         # traced: init in train mode with placeholder targets (shapes only
         # — batch/target count don't affect param shapes).
-        B_, bd = 2, getattr(model.config, "box_dim", 2)
+        # batch of the placeholder targets must match the (possibly
+        # batch-1) sliced sample input or the decoder's dn concat fails
+        B_ = min(2, sample_input.shape[0])
+        bd = getattr(model.config, "box_dim", 2)
         init_kwargs = {
             "train": True,
             "targets": {

@@ -586,6 +586,54 @@ def convert_r1_detr(state_dict: Dict[str, np.ndarray], nhead: int = 8):
     return params, stats
 
 
+def surgery_detr_pretrained(state_dict: Dict[str, np.ndarray],
+                            dst_params: dict, dst_stats: dict,
+                            nhead: int = 8):
+    """Ingest the PUBLIC DETR-R50 checkpoint (detr-r50-e632da11.pth
+    ``model`` dict) with the reference's surgery semantics
+    (R1/main.py:20-87 map_static_dicts): ONLY the backbone / transformer /
+    input_proj / query_embed sections are taken — the COCO heads
+    (class_embed, bbox_embed) are dropped, input_proj in-channels and
+    query_embed rows slice-adapt to the destination shapes, and trunk
+    stages the destination model does not tap (layer4 under Backbone8s)
+    fall away via the partial merge. Returns (params, batch_stats) merged
+    into copies of ``dst_params`` / ``dst_stats``.
+    """
+    keep = {
+        k: v for k, v in state_dict.items()
+        if k.startswith(("backbone.", "transformer.", "input_proj.",
+                         "query_embed."))
+    }
+    src_params, src_stats = convert_r1_detr(keep, nhead=nhead)
+    # The public file is a plain DETR: no Backbone8s fusion convs, so
+    # convert_r1_detr leaves the trunk flat at ``backbone/``. When the
+    # destination is an s8 model (trunk nested under ``backbone/body``,
+    # R1/models/backbone.py:105-142), re-scope so the partial merge lands.
+    if ("body" in dst_params.get("backbone", {})
+            and "body" not in src_params.get("backbone", {})):
+        src_params["backbone"] = {"body": src_params["backbone"]}
+        src_stats["backbone"] = {"body": src_stats["backbone"]}
+    return (map_static_dicts(src_params, dst_params),
+            map_static_dicts(src_stats, dst_stats))
+
+
+def convert_presnet_pretrained(state_dict: Dict[str, np.ndarray],
+                               nhead: int = 8):
+    """Ingest a paddle-converted PResNet-vd pretrained file
+    (ResNet{18,34,50,101}_vd_*_pretrained_from_paddle.pth). The reference
+    loads these straight into the PResNet submodule
+    (R2/nn/backbone/presnet.py:26-31 donwload_url +
+    ``self.load_state_dict(state)``), so the on-disk key surface is the
+    module's own state_dict — i.e. convert_r2_rtdetr's backbone section
+    WITHOUT the ``backbone.`` prefix. Returns (params, batch_stats)
+    subtrees for models.presnet.PResNet (merge into a full model's
+    ``params['backbone']`` / ``batch_stats['backbone']``).
+    """
+    prefixed = {f"backbone.{k}": v for k, v in state_dict.items()}
+    params, stats = convert_r2_rtdetr(prefixed, nhead=nhead)
+    return params.get("backbone", {}), stats.get("backbone", {})
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a .pth file to numpy dict (CPU torch)."""
     import torch

@@ -33,22 +33,26 @@ def load_r2_modules():
     if R2_DIR not in sys.path:
         sys.path.insert(0, R2_DIR)
 
-    if "torchvision" not in sys.modules:
+    tv = sys.modules.get("torchvision")
+    if tv is None:
         tv = types.ModuleType("torchvision")
         tv.__graft_stub__ = True
-        ops = types.ModuleType("torchvision.ops")
+        sys.modules["torchvision"] = tv
+    if not hasattr(tv, "ops"):
+        tv.ops = types.ModuleType("torchvision.ops")
+        sys.modules["torchvision.ops"] = tv.ops
+    if not hasattr(tv.ops, "boxes"):
+        # extend whatever stub is installed (tests/_r1_reference.py's stub
+        # creates torchvision.ops without .boxes — load order must not
+        # matter when both reference trees import in one pytest process)
         boxes = types.ModuleType("torchvision.ops.boxes")
         boxes.box_area = (
             lambda b: (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
         )
-        ops.boxes = boxes
-        tv.ops = ops
+        tv.ops.boxes = boxes
+        sys.modules["torchvision.ops.boxes"] = boxes
+    if not hasattr(tv, "disable_beta_transforms_warning"):
         tv.disable_beta_transforms_warning = lambda: None
-        sys.modules.update({
-            "torchvision": tv,
-            "torchvision.ops": ops,
-            "torchvision.ops.boxes": boxes,
-        })
 
     if "timm" not in sys.modules:
         # ghostnetv2.py uses only the @register_model decorator

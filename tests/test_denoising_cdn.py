@@ -285,7 +285,8 @@ def test_cdn_det_task_padded_targets(rng):
         loss_fn, has_aux=True)(variables["params"])
     assert "loss_vfl_dn_0" in losses
     assert np.isfinite(float(total))
-    g = np.asarray(grads["decoder"]["denoising_class_embed"])
+    g = np.asarray(
+        grads["decoder"]["denoising_class_embed"]["embedding"])
     assert np.isfinite(g).all() and np.abs(g).sum() > 0
 
 
@@ -321,12 +322,12 @@ def test_cdn_train_step_end_to_end(rng):
         CriterionConfig(point_loss="uncert", eos_coef=1e-4),
         TrainConfig(), AugmentConfig(out_size=64), denoising=True)
     table_before = np.asarray(
-        state.params["decoder"]["denoising_class_embed"])
+        state.params["decoder"]["denoising_class_embed"]["embedding"])
     new_state, losses = step(state, batch, jax.random.PRNGKey(5))
     assert "loss_ce_dn_0" in losses and "loss_points_dn_1" in losses
     for k, v in losses.items():
         assert np.isfinite(np.asarray(v)).all(), k
     table_after = np.asarray(
-        new_state.params["decoder"]["denoising_class_embed"])
+        new_state.params["decoder"]["denoising_class_embed"]["embedding"])
     assert not np.allclose(table_before, table_after), (
         "denoising embedding table received no update")

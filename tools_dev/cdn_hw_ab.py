@@ -1,0 +1,90 @@
+"""CDN convergence A/B on hardware: num_denoising=44 vs 0, same recipe.
+
+Round-4 ran this once at seed 0 (assets/cdn_hw_ab_r4.json: 0.812 vs 1.040
+best val score in 12 epochs); VERDICT round-4 item 5 asks for >=3 seeds so
+the acceleration claim rests on a distribution, not a point. Each
+invocation runs BOTH arms at one seed (seed also shuffles the data order
+via SpeedSolver) and appends a JSON line to --json_out.
+
+Recipe (identical to round 4): synthetic selfcheck r18/h64 @128, batch 24,
+12 epochs, lr 3e-4; the CDN arm mirrors the reference defaults'
+num_denoising scale (R2/src/zoo/rtdetr/denoising.py:10-146,
+R2/configs/rtdetr/include/rtdetr_r50vd.yml num_denoising: 100 scaled to
+the 11-keypoint task as in round 4).
+
+    python tools_dev/cdn_hw_ab.py --root /tmp/synth_r4 --seed 1 \
+        --json_out assets/cdn_hw_ab_r5.jsonl
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(num_dn: int, out: str, seed: int, root: str, epochs: int):
+    from satellite_pose_estimation_tpu.core.yaml_config import YAMLConfig
+    from satellite_pose_estimation_tpu.train.solver import SpeedSolver
+
+    cfg = YAMLConfig(cfg={
+        "task": "landmarker", "model": "RTDETR", "num_classes": 11,
+        "epoches": epochs, "checkpoint_step": 10000, "log_step": 20,
+        "compute_dtype": "float32",
+        "PResNet": {"depth": 18, "freeze_norm": False},
+        "HybridEncoder": {"hidden_dim": 64, "nhead": 4,
+                          "dim_feedforward": 128, "expansion": 0.5},
+        "RTDETRTransformer": {"num_queries": 30, "num_decoder_layers": 3,
+                              "num_denoising": num_dn},
+        "SetCriterion": {"losses": ["labels", "points_uncert"],
+                         "weight_dict": {"loss_ce": 1, "loss_bbox": 5},
+                         "matcher": {"weight_dict": {"cost_class": 2,
+                                                     "cost_bbox": 5}}},
+        "optimizer": {"lr": 3e-4}, "lr_scheduler": {"milestones": [10000]},
+        "train_dataloader": {"batch_size": 24,
+                             "dataset": {"index_file": "train_s.txt",
+                                         "resize": 128}},
+        "val_dataloader": {"batch_size": 24,
+                           "dataset": {"index_file": "val_s.txt",
+                                       "resize": 128, "train": False}},
+        "output_dir": out,
+    })
+    s = SpeedSolver(cfg, data_root=root, seed=seed)
+    s.fit()
+    lines = [json.loads(line) for line in open(os.path.join(out, "log.txt"))]
+    return [round(e["test_score"], 4) for e in lines]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/synth_r4")
+    ap.add_argument("--seed", type=int, required=True)
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--json_out", default="assets/cdn_hw_ab_r5.jsonl")
+    args = ap.parse_args()
+
+    os.environ.setdefault("SPE_DECODE_CACHE", "2048")
+    t0 = time.time()
+    dn = run(44, f"/tmp/cdn_s{args.seed}_dn", args.seed, args.root,
+             args.epochs)
+    base = run(0, f"/tmp/cdn_s{args.seed}_base", args.seed, args.root,
+               args.epochs)
+    rec = {
+        "recipe": (f"synthetic selfcheck r18/h64 @128, batch 24, "
+                   f"{args.epochs} epochs, lr 3e-4, seed {args.seed}, "
+                   "v5e single chip"),
+        "seed": args.seed,
+        "cdn_num_denoising_44": dn,
+        "baseline_num_denoising_0": base,
+        "best_cdn": min(dn),
+        "best_baseline": min(base),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    with open(args.json_out, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

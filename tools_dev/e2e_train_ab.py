@@ -125,11 +125,23 @@ def reference_aug_numpy(img, kps, rng, img_size):
       HFlip .5 | IAAAffine .1 (DEFAULT params = identity transform — a
       quirk of the shipped code; imgaug Affine(scale=1, rotate=0, shear=0))
       | Rotate .4 (+-90, INTER_CUBIC, constant border) | Resize cubic |
-      Blur .3 (limit 3) | OneOf[MotionBlur .2, MedianBlur .1, Blur .1] .2 |
-      IAAAdditiveGaussianNoise .2 (sigma U(0, .05*255)) |
-      JpegCompression(20, 99) .1 | ISONoise .2 (approximated: luminance
-      shot noise + hue-ish color shift per its published algorithm) |
-      Cutout(10 holes, 40x40) .1.
+      Blur .3 (limit 3 -> ksize always 3) |
+      OneOf[MotionBlur .2, MedianBlur .1, Blur .1] .2 (weights .5/.25/.25) |
+      IAAAdditiveGaussianNoise .2 (sigma U(0, .05*255), per_channel=False:
+      ONE noise map over all channels, the imgaug default) |
+      JpegCompression(20, 99) .1 | ISONoise .2 (the albumentations 0.4.x
+      iso_noise algorithm verbatim: HLS space, Poisson luminance noise
+      scaled by the L-channel std, Gaussian hue rotation) |
+      Cutout(10 holes, 40x40, zero fill, centers uniform, clipped) .1.
+
+    Round-5 faithfulness audit (VERDICT r4 item 4): MotionBlur now draws
+    albumentations' random-chord kernel (cv2.line between two random
+    in-kernel points) instead of a center-symmetric line, the additive
+    Gaussian noise is single-map (was per-channel), and ISONoise runs the
+    exact HLS algorithm (was a luminance-shot approximation). Remaining
+    known deltas vs the real albumentations stack: none by construction
+    for the geometric ops (same cv2 calls); stochastic streams obviously
+    differ (numpy RandomState vs python random).
 
     img: HxWx3 uint8 crop; kps: (K, 2) xy in crop pixels. Returns
     (img_size x img_size float32 [0,255], kps in resized pixels)."""
@@ -163,41 +175,55 @@ def reference_aug_numpy(img, kps, rng, img_size):
         img = cv2.blur(img, (3, 3))
     if rng.rand() < 0.2:  # OneOf, normalized weights .5/.25/.25
         u = rng.rand()
-        if u < 0.5:  # MotionBlur (default limit 7 -> ksize in {3,5,7})
+        if u < 0.5:  # MotionBlur (default limit 7 -> ksize in {3,5,7}):
+            # albumentations draws a random CHORD — cv2.line between two
+            # random in-kernel points (not a center-symmetric line)
             k = int(rng.choice([3, 5, 7]))
-            kern = np.zeros((k, k), np.float32)
-            ang = rng.uniform(0, np.pi)
-            cx = cy = (k - 1) / 2
-            for t in np.linspace(-cx, cx, 2 * k):
-                x = int(round(cx + t * np.cos(ang)))
-                y = int(round(cy + t * np.sin(ang)))
-                if 0 <= x < k and 0 <= y < k:
-                    kern[y, x] = 1.0
-            kern /= max(kern.sum(), 1)
+            kern = np.zeros((k, k), np.uint8)
+            xs_, xe_ = int(rng.randint(0, k)), int(rng.randint(0, k))
+            if xs_ == xe_:
+                ys_, ye_ = sorted(
+                    int(v) for v in rng.choice(k, 2, replace=False))
+            else:
+                ys_, ye_ = int(rng.randint(0, k)), int(rng.randint(0, k))
+            cv2.line(kern, (xs_, ys_), (xe_, ye_), 1, thickness=1)
+            kern = kern.astype(np.float32) / max(kern.sum(), 1)
             img = cv2.filter2D(img, -1, kern)
         elif u < 0.75:
             img = cv2.medianBlur(img, 3)
         else:
             img = cv2.blur(img, (3, 3))
-    if rng.rand() < 0.2:  # IAAAdditiveGaussianNoise: sigma U(0, 12.75)
+    if rng.rand() < 0.2:  # IAAAdditiveGaussianNoise: sigma U(0, 12.75),
+        # per_channel=False (imgaug default): ONE noise map, all channels
         sigma = rng.uniform(0, 0.05 * 255)
-        img = np.clip(img + rng.randn(*img.shape) * sigma, 0,
-                      255).astype(np.uint8)
+        noise = rng.randn(*img.shape[:2])[..., None] * sigma
+        img = np.clip(img + noise, 0, 255).astype(np.uint8)
     if rng.rand() < 0.1:  # JpegCompression(20, 99)
         q = int(rng.uniform(20, 99))
         ok, enc = cv2.imencode(
             ".jpg", img, [int(cv2.IMWRITE_JPEG_QUALITY), q])
         img = cv2.imdecode(enc, cv2.IMREAD_COLOR)
     if rng.rand() < 0.2:  # ISONoise(color_shift (.01,.05), intensity (.1,.5))
+        # albumentations 0.4.x iso_noise verbatim: HLS space, Poisson
+        # luminance noise with lambda = std(L) * intensity * 255 applied
+        # as (noise/255)*(1-L), Gaussian hue rotation sigma =
+        # color_shift * 360 * intensity (degrees, wrapped)
         intensity = rng.uniform(0.1, 0.5)
         color_shift = rng.uniform(0.01, 0.05)
-        x = img.astype(np.float32) / 255.0
-        luma = x.mean(-1, keepdims=True)
-        # Poisson shot noise on luminance + random hue-direction shift
-        shot = rng.poisson(np.clip(luma, 0, 1) * 255.0) / 255.0 - luma
-        shift = rng.randn(1, 1, 3) * color_shift
-        x = np.clip(x + intensity * shot + shift * luma, 0, 1)
-        img = (x * 255).astype(np.uint8)
+        x = np.multiply(img, 1.0 / 255.0, dtype=np.float32)
+        hls = cv2.cvtColor(x, cv2.COLOR_RGB2HLS)
+        std_l = float(hls[..., 1].std())
+        lum_noise = rng.poisson(
+            max(std_l * intensity * 255.0, 0.0), size=hls.shape[:2])
+        col_noise = rng.normal(
+            0, color_shift * 360.0 * intensity, size=hls.shape[:2])
+        hue = hls[..., 0] + col_noise
+        hue[hue < 0] += 360
+        hue[hue > 360] -= 360
+        hls[..., 0] = hue
+        hls[..., 1] += (lum_noise / 255.0) * (1.0 - hls[..., 1])
+        x = cv2.cvtColor(hls, cv2.COLOR_HLS2RGB) * 255.0
+        img = np.clip(x, 0, 255).astype(np.uint8)
     if rng.rand() < 0.1:  # Cutout(10, 40, 40)
         for _ in range(10):
             cx = rng.randint(0, img_size)
@@ -241,12 +267,12 @@ def make_scorer(val):
 
 # ---------------------------------------------------------------- torch arm
 
-def build_torch():
+def build_torch(seed=0):
     from tests._r2_reference import load_r2_modules
     import torch
 
     PResNet, HybridEncoder, RTDETRTransformer, TorchRTDETR = load_r2_modules()
-    torch.manual_seed(0)
+    torch.manual_seed(seed)
     backbone = PResNet(depth=18, return_idx=[1, 2, 3], pretrained=False,
                        freeze_at=-1, freeze_norm=False)
     encoder = HybridEncoder(in_channels=[128, 256, 512], hidden_dim=HIDDEN,
@@ -260,7 +286,8 @@ def build_torch():
     return TorchRTDETR(backbone=backbone, encoder=encoder, decoder=decoder)
 
 
-def run_torch(sd, tr, val, orders, scorer, epochs, batch, aug_data=None):
+def run_torch(sd, tr, val, orders, scorer, epochs, batch, aug_data=None,
+              seed=0):
     """``aug_data``: aug-ON mode (VERDICT r4 item 4) — dict of raw packed
     buffers; each batch re-crops from the buffer and runs the
     reference_aug_numpy albumentations family host-side, exactly like the
@@ -275,7 +302,7 @@ def run_torch(sd, tr, val, orders, scorer, epochs, batch, aug_data=None):
 
     MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
     STD = np.asarray([0.229, 0.224, 0.225], np.float32)
-    aug_rng = np.random.RandomState(777)
+    aug_rng = np.random.RandomState(777 + seed)
 
     def aug_batch_np(idxs):
         xs, kps_n = [], []
@@ -355,7 +382,8 @@ def run_torch(sd, tr, val, orders, scorer, epochs, batch, aug_data=None):
 
 # ----------------------------------------------------------------- our arm
 
-def run_ours(sd, tr, val, orders, scorer, epochs, batch, aug_data=None):
+def run_ours(sd, tr, val, orders, scorer, epochs, batch, aug_data=None,
+             seed=0):
     """``aug_data``: aug-ON mode — feed raw packed buffers and let the
     production train step run its own device-side augment family
     (data/augment.py), the shipped training path."""
@@ -425,7 +453,7 @@ def run_ours(sd, tr, val, orders, scorer, epochs, batch, aug_data=None):
             return (out["pred_logits"], out["pred_points"],
                     out["pred_sigmas"])
 
-        rng = jax.random.PRNGKey(42)
+        rng = jax.random.PRNGKey(42 + seed)
         vx = jnp.asarray(val["crops"])
         scores, losses = [], []
         for ep in range(epochs):
@@ -479,6 +507,10 @@ def main():
                     "(ours device-side vs the reference albumentations "
                     "pipeline reimplemented in cv2) — VERDICT r4 item 4")
     ap.add_argument("--out", default="/tmp/e2e_ab.json")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="varies shared init, batch orders, and both arms' "
+                    "aug/train RNG streams together (VERDICT r4 item 4: "
+                    ">=3 seeds); 0 reproduces the round-4 run exactly")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -500,13 +532,13 @@ def main():
           f"in {time.time() - t0:.0f}s", flush=True)
 
     # shared init from torch's sampling
-    torch_model = build_torch()
+    torch_model = build_torch(args.seed)
     sd = {k: v.detach().numpy().copy()
           for k, v in torch_model.state_dict().items()}
     del torch_model
 
     # shared batch orders: one numpy stream, drop-last like the reference
-    order_rng = np.random.RandomState(123)
+    order_rng = np.random.RandomState(123 + args.seed)
     n = len(tr_samples)
     orders = []
     for _ in range(args.epochs):
@@ -516,12 +548,13 @@ def main():
         orders.append(steps)
 
     result = {"epochs": args.epochs, "batch": args.batch, "aug": args.aug,
+              "seed": args.seed,
               "n_train": len(tr_samples), "n_val": len(val_samples)}
     if args.arm in ("both", "ours"):
         t = time.time()
         f_scores, f_losses = run_ours(sd, tr, val, orders, scorer,
                                       args.epochs, args.batch,
-                                      aug_data=aug_data)
+                                      aug_data=aug_data, seed=args.seed)
         result["ours"] = {"scores": f_scores, "losses": f_losses,
                           "best": min(f_scores),
                           "wall_s": round(time.time() - t, 1)}
@@ -529,7 +562,7 @@ def main():
         t = time.time()
         t_scores, t_losses = run_torch(sd, tr, val, orders, scorer,
                                        args.epochs, args.batch,
-                                       aug_data=aug_data)
+                                       aug_data=aug_data, seed=args.seed)
         result["torch"] = {"scores": t_scores, "losses": t_losses,
                            "best": min(t_scores),
                            "wall_s": round(time.time() - t, 1)}
