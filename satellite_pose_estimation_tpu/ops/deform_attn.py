@@ -150,16 +150,25 @@ def deformable_attention_core_matmul(
         w2d = (wy[..., :, None] * wx[..., None, :]).reshape(
             B, Q, H, n_points, h * w
         )
+        # Fold the softmaxed attention weights into the sampling matrix and
+        # contract P here too (round 5): out = sum_l sum_p attw * sampled
+        # is linear, so premultiplying w2d by attw_l and accumulating over
+        # levels is exact — it removes the (B, H, Q, L, P, C) stack and the
+        # second einsum (their write+read was pure HBM traffic) and shrinks
+        # this einsum's output P-fold to (B, H, Q, C).
+        attw_l = attention_weights[:, :, :, lvl]  # (B, Q, H, P)
+        w2d = w2d * attw_l.astype(w2d.dtype)[..., None]
         # f32 MXU accumulation for low-precision dtypes; full precision for
         # the f64 parity tests.
         acc = None if dt == jnp.float64 else jnp.float32
         sampled = jnp.einsum(
-            "bqhpn,bhnc->bhqpc", w2d.astype(dt), v,
+            "bqhpn,bhnc->bhqc", w2d.astype(dt), v,
             preferred_element_type=acc,
-        ).astype(dt)  # (B, H, Q, P, C)
+        )  # (B, H, Q, C) in acc dtype
         outputs.append(sampled)
 
-    stacked = jnp.stack(outputs, axis=3)  # (B, H, Q, L, P, C)
-    attw = attention_weights.transpose(0, 2, 1, 3, 4)  # (B, H, Q, L, P)
-    out = jnp.einsum("bhqlpc,bhqlp->bqhc", stacked, attw.astype(dt))
+    out = outputs[0]
+    for o in outputs[1:]:
+        out = out + o
+    out = out.astype(dt).transpose(0, 2, 1, 3)  # (B, Q, H, C)
     return out.reshape(B, Q, H * C)

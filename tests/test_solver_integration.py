@@ -271,3 +271,46 @@ def test_decode_cache_equivalence(tmp_path, rng, monkeypatch):
     e2 = [val[i]["image"] for i in range(len(val))]
     for a, b in zip(e1, e2):
         np.testing.assert_array_equal(a, b)
+
+
+def test_packed_cache_equivalence(tmp_path, rng, monkeypatch):
+    """Deterministic-path packed-sample cache (round 5): val samples served
+    from the packed cache are identical to the uncached path, train mode
+    never caches (stochastic crops), the decoded-frame cache is skipped
+    when the packed cache covers the split, and a cached sample cannot be
+    mutated in place."""
+    from satellite_pose_estimation_tpu.data.dataset import SpeedTrainDataset
+
+    root = make_fake_speed(str(tmp_path), n_images=6, rng=rng)
+
+    def make_ds(train):
+        return SpeedTrainDataset(
+            root, ann_file="wz_train.json", index_file="train_t.txt",
+            img_dir="images/train", resize=64, train=train, seed=3,
+        )
+
+    val = make_ds(train=False)
+    assert val._packed_cache is not None
+    monkeypatch.setenv("SPE_PACKED_CACHE", "0")
+    plain = make_ds(train=False)
+    assert plain._packed_cache is None
+    monkeypatch.delenv("SPE_PACKED_CACHE")
+
+    first = [val[i] for i in range(len(val))]          # fills the cache
+    assert len(val._packed_cache) == len(val)
+    # packed cache covers the split -> decoded frames were not retained
+    assert len(val._decode_cache) == 0
+    again = [val[i] for i in range(len(val))]          # served from cache
+    for a, b, c in zip(first, again, [plain[i] for i in range(len(plain))]):
+        for k in a:
+            if k == "filename":
+                assert a[k] == b[k] == c[k]
+            else:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+                np.testing.assert_array_equal(a[k], c[k], err_msg=k)
+
+    with pytest.raises(ValueError):
+        again[0]["image"][0, 0, 0] = 7  # frozen
+
+    tr = make_ds(train=True)
+    assert tr._packed_cache is None  # train crops are stochastic per epoch

@@ -6,6 +6,12 @@
 set -x
 cd /root/repo
 
+# 0. CDN seed-1 rerun: the queue-1 run was killed by its timeout under
+#    host contention (dn arm done, baseline arm incomplete, no jsonl row).
+timeout 3000 python tools_dev/cdn_hw_ab.py --root /tmp/synth_r4 --seed 1 \
+  --json_out /root/repo/assets/cdn_hw_ab_r5.jsonl \
+  > /tmp/r5_cdn_s1b.log 2>&1
+
 # 1. PTQ accuracy at the shapes the int8-static headline ships:
 #    DETR @224 on the converged checkpoint, RT-DETR @256.
 PTQ_AB_TPU=1 SPE_INT8_SCOPE=conv,ffn timeout 4000 \
