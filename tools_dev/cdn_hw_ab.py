@@ -53,7 +53,10 @@ def run(num_dn: int, out: str, seed: int, root: str, epochs: int):
     s = SpeedSolver(cfg, data_root=root, seed=seed)
     s.fit()
     lines = [json.loads(line) for line in open(os.path.join(out, "log.txt"))]
-    return [round(e["test_score"], 4) for e in lines]
+    # log.txt appends across runs into the same output dir — keep only
+    # THIS run's trailing `epochs` records (a killed earlier attempt left
+    # a partial prefix in the round-5 seed-1 dir).
+    return [round(e["test_score"], 4) for e in lines[-epochs:]]
 
 
 def main():
