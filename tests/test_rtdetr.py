@@ -200,3 +200,29 @@ def test_rtdetr_train_step(rng):
         )
     )
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_topk_small_k_matches_lax_top_k(rng):
+    """Sort-free small-K selection (ops/topk.py) must match lax.top_k
+    exactly — values, indices, order, and tie resolution — on random and
+    tie-heavy inputs in f32 and bf16."""
+    from satellite_pose_estimation_tpu.ops.topk import topk_small_k
+
+    for dtype in (jnp.float32, jnp.bfloat16):
+        s = jnp.asarray(rng.randn(7, 137), dtype)
+        v0, i0 = jax.lax.top_k(s, 12)
+        v1, i1 = topk_small_k(s, 12)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+
+    # heavy ties: quantized scores force the tie-order path
+    s = jnp.asarray(rng.randint(0, 4, (5, 97)), jnp.float32)
+    v0, i0 = jax.lax.top_k(s, 9)
+    v1, i1 = topk_small_k(s, 9)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+
+    # large-K fallback routes to lax.top_k
+    v0, i0 = jax.lax.top_k(s, 80)
+    v1, i1 = topk_small_k(s, 80)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))

@@ -130,16 +130,26 @@ def main():
     timeit("value_proj dense (B,L,C)@(C,C)", jax.jit(
         lambda x: dense.apply(vd, x)), pool_of((B, L, C)))
 
-    # --- top_k over (B, L) + take_along_axis of (B, L, C)
+    # --- top_k over (B, L) + take_along_axis of (B, L, C): lax.top_k
+    # (bitonic sort) vs the sort-free small-K selection (ops/topk.py)
+    from satellite_pose_estimation_tpu.ops.topk import topk_small_k
+
     def topk_sel(t):
         scores, arr = t
         _, ind = jax.lax.top_k(scores, Q)
         return jnp.take_along_axis(
             arr, ind[..., None].repeat(arr.shape[-1], -1), axis=1)
 
-    timeit("top_k(Q)+gather (B,L,C)", jax.jit(topk_sel),
-           [(jnp.asarray(rng.randn(B, L), dt),
-             jnp.asarray(rng.randn(B, L, C), dt)) for _ in range(4)])
+    def topk_sel_small(t):
+        scores, arr = t
+        _, ind = topk_small_k(scores, Q)
+        return jnp.take_along_axis(
+            arr, ind[..., None].repeat(arr.shape[-1], -1), axis=1)
+
+    tpool = [(jnp.asarray(rng.randn(B, L), dt),
+              jnp.asarray(rng.randn(B, L, C), dt)) for _ in range(4)]
+    timeit("lax.top_k(Q)+gather (B,L,C)", jax.jit(topk_sel), tpool)
+    timeit("topk_small_k(Q)+gather (B,L,C)", jax.jit(topk_sel_small), tpool)
 
     # --- self-attn-sized matmul chain (Q=30: dispatch-bound tiny ops)
     timeit("Q=30 dense chain x4 (self-attn scale)", jax.jit(
@@ -163,8 +173,9 @@ def main():
         "3 layers w2d total": 6 * core_w2d / 1e9,
     }
     for k, val in rows.items():
-        print(f"{k:44s} {val:8.3f} GB  -> {val/0.8*1e3:6.2f}..."
-              f"{val/0.55*1e3:6.2f} ms @ 800...550 GB/s")
+        # val GB / (GB/ms): 800 GB/s = 0.8 GB/ms
+        print(f"{k:44s} {val:8.3f} GB  -> {val/0.8:6.2f}..."
+              f"{val/0.55:6.2f} ms @ 800...550 GB/s")
     print(f"\nlayers-by-differencing: full {t_full*1e3:.2f} ms, "
           f"1-layer {t_1l*1e3:.2f} ms -> per-layer {per_layer*1e3:.2f} ms, "
           f"head (proj+enc+topk, extrapolated) {t_head*1e3:.2f} ms")
