@@ -262,16 +262,16 @@ class RTDETRTransformer(nn.Module):
 
         topk = self.num_queries
         scores = jnp.max(enc_logits, axis=-1)  # (B, L)
-        # Sort-free small-K selection: lax.top_k's bitonic sort measured
-        # 47.7 ms at (B=256, L=1344, K=30) — 86% of the decoder stage
-        # (ops/topk.py; tools_dev/decoder_floor.py round 5).
-        from ..ops.topk import topk_small_k
+        # Small-K selection + one-hot-matmul row gather: the round-4
+        # decoder spent ~38 ms of 54.8 here, and the cost was the
+        # take_along_axis row gathers over (B, L, C) memory, not the
+        # top_k sort (tools_dev/decoder_floor.py round-5 A/B). select_rows
+        # streams the memory once through the MXU instead (ops/topk.py).
+        from ..ops.topk import select_rows, topk_small_k
 
         _, topk_ind = topk_small_k(scores, topk)  # (B, K)
 
-        gather = lambda arr: jnp.take_along_axis(
-            arr, topk_ind[..., None].repeat(arr.shape[-1], -1), axis=1
-        )
+        gather = lambda arr: select_rows(arr, topk_ind)
         ref_points_unact = jax.lax.stop_gradient(gather(enc_coord_unact))
         enc_topk_points = jax.nn.sigmoid(gather(enc_coord_unact))
         enc_topk_logits = gather(enc_logits)

@@ -54,3 +54,32 @@ def topk_small_k(scores: jnp.ndarray, k: int, unroll_threshold: int = 64):
         step, scores.astype(work), None, length=k)
     return (jnp.moveaxis(vals, 0, 1).astype(scores.dtype),
             jnp.moveaxis(idxs, 0, 1))
+
+
+def select_rows(arr: jnp.ndarray, ind: jnp.ndarray,
+                max_onehot_elems: int = 1 << 27) -> jnp.ndarray:
+    """Gather ``arr[b, ind[b, k], :]`` -> (B, K, C) as a one-hot MATMUL.
+
+    ``take_along_axis`` row-gathers from a large (B, L, C) tensor
+    degenerate on TPU: measured **47.4 ms** for (256, 1344, 256) -> K=30
+    (tools_dev/decoder_floor.py round 5 — the top-k row's cost was the
+    gather, not the sort; swapping the sort for argmax sweeps moved
+    nothing). The same selection as S @ arr with a one-hot
+    S = (iota == ind) is MXU work over one streaming read of ``arr``
+    (~0.2 GB -> sub-ms). Exact: each output element is 1.0 * arr[l, c]
+    plus zeros, exact in any float dtype under f32+ accumulation.
+
+    Falls back to take_along_axis when the one-hot would be huge
+    (B*K*L > max_onehot_elems; COCO-det shapes stay comfortably under).
+    """
+    B, L, C = arr.shape
+    K = ind.shape[1]
+    if B * K * L > max_onehot_elems:
+        return jnp.take_along_axis(
+            arr, ind[..., None].astype(jnp.int32).repeat(C, -1), axis=1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B, K, L), 2)
+    onehot = (iota == ind[..., None].astype(jnp.int32)).astype(arr.dtype)
+    acc = None if arr.dtype == jnp.float64 else jnp.float32
+    return jnp.einsum(
+        "bkl,blc->bkc", onehot, arr, preferred_element_type=acc
+    ).astype(arr.dtype)

@@ -226,3 +226,20 @@ def test_topk_small_k_matches_lax_top_k(rng):
     v0, i0 = jax.lax.top_k(s, 80)
     v1, i1 = topk_small_k(s, 80)
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_select_rows_matches_take_along_axis(rng):
+    """One-hot-matmul row selection (ops/topk.py::select_rows) must equal
+    take_along_axis exactly in f32/bf16/f64, including duplicate indices,
+    and route to the fallback above the one-hot size bound."""
+    from satellite_pose_estimation_tpu.ops.topk import select_rows
+
+    ind = jnp.asarray(rng.randint(0, 57, (3, 9)), jnp.int32)
+    for dtype in (jnp.float32, jnp.bfloat16, jnp.float64):
+        arr = jnp.asarray(rng.randn(3, 57, 13), dtype)
+        want = jnp.take_along_axis(
+            arr, ind[..., None].repeat(13, -1), axis=1)
+        got = select_rows(arr, ind)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        got_fb = select_rows(arr, ind, max_onehot_elems=4)  # force fallback
+        np.testing.assert_array_equal(np.asarray(got_fb), np.asarray(want))

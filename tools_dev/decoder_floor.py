@@ -146,10 +146,30 @@ def main():
         return jnp.take_along_axis(
             arr, ind[..., None].repeat(arr.shape[-1], -1), axis=1)
 
+    from satellite_pose_estimation_tpu.ops.topk import select_rows
+
+    def topk_sel_matmul(t):
+        scores, arr = t
+        _, ind = topk_small_k(scores, Q)
+        return select_rows(arr, ind)
+
     tpool = [(jnp.asarray(rng.randn(B, L), dt),
               jnp.asarray(rng.randn(B, L, C), dt)) for _ in range(4)]
     timeit("lax.top_k(Q)+gather (B,L,C)", jax.jit(topk_sel), tpool)
     timeit("topk_small_k(Q)+gather (B,L,C)", jax.jit(topk_sel_small), tpool)
+    timeit("topk_small_k(Q)+select_rows matmul", jax.jit(topk_sel_matmul),
+           tpool)
+
+    def topk_only(t):
+        scores, _ = t
+        return jax.lax.top_k(scores, Q)[1]
+
+    def topk_small_only(t):
+        scores, _ = t
+        return topk_small_k(scores, Q)[1]
+
+    timeit("lax.top_k alone (B,L)", jax.jit(topk_only), tpool)
+    timeit("topk_small_k alone (B,L)", jax.jit(topk_small_only), tpool)
 
     # --- self-attn-sized matmul chain (Q=30: dispatch-bound tiny ops)
     timeit("Q=30 dense chain x4 (self-attn scale)", jax.jit(
